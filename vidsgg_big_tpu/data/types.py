@@ -1,0 +1,193 @@
+"""Data contracts: host-side per-video records and fixed-shape device batches.
+
+The reference passes variable-shape python objects (``TrajProposal`` /
+``VideoGraph``, reference dataloaders/dataloader_vidvrd.py:14-143) through the
+model one video at a time.  The TPU-native contract instead is:
+
+  * :class:`VideoProposalRecord` / :class:`VideoGTRecord` — plain numpy,
+    variable-shape, used on host for data prep and eval-format conversion.
+  * :class:`TrackletBatch` / :class:`GraphBatch` — padded, masked pytrees with
+    static shapes.  One ``(N_bucket, T_bucket)`` shape = one compiled
+    executable; batching stacks videos of the same bucket on a leading axis.
+
+Boxes are stored relative to each trajectory (frame 0 = trajectory start) and
+un-stretched; ``stretch_idx`` carries the reference's repeat-padding gather so
+the model can reproduce ``stack_with_repeat_2d`` semantics on device.
+Durations are closed intervals [start, end] of absolute frame ids.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.segments import stretch_index_np
+
+
+# ---------------------------------------------------------------------------
+# host-side records (numpy, variable shape)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class VideoProposalRecord:
+    """Tracklet proposals of one video (after score clipping to MAX_PROPOSAL)."""
+    video_name: str
+    video_len: int
+    video_wh: Tuple[int, int]
+    cat_ids: np.ndarray            # (n,) int32
+    scores: np.ndarray             # (n,) float32 (mean per-frame conf)
+    durations: np.ndarray          # (n, 2) int32, closed [start, end]
+    boxes: List[np.ndarray]        # n arrays, (len_i, 4) float32 xyxy
+    features: List[np.ndarray]     # n arrays, (len_i, D) float32
+
+    @property
+    def num_proposals(self) -> int:
+        return len(self.boxes)
+
+    @property
+    def max_frames(self) -> int:
+        return max((b.shape[0] for b in self.boxes), default=0)
+
+
+@dataclasses.dataclass
+class VideoGTRecord:
+    """Ground-truth scene graph of one video."""
+    video_name: str
+    video_len: int
+    video_wh: Tuple[int, int]
+    traj_cat_ids: np.ndarray       # (g,) int32
+    traj_durations: np.ndarray     # (g, 2) int32 closed
+    traj_boxes: List[np.ndarray]   # g arrays, (len_i, 4) float32
+    pred_cat_ids: np.ndarray       # (p,) int32
+    pred_durations: np.ndarray     # (p, 2) float32 closed
+    adj: np.ndarray                # (2, p, g) float32 one-hot (subj, obj)
+
+    @property
+    def num_trajs(self) -> int:
+        return len(self.traj_boxes)
+
+    @property
+    def num_preds(self) -> int:
+        return int(self.pred_cat_ids.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# device batches (fixed shape, masked)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class TrackletBatch:
+    """Padded tracklet proposals.  Leading batch axis optional (stack to add)."""
+    feats: jnp.ndarray        # (N, T, D) float32, raw (un-stretched), 0-padded
+    boxes: jnp.ndarray        # (N, T, 4) float32, relative frames, 0-padded
+    stretch_idx: jnp.ndarray  # (N, T) int32 repeat-padding gather index
+    durations: jnp.ndarray    # (N, 2) int32 closed absolute
+    cat_ids: jnp.ndarray      # (N,) int32
+    scores: jnp.ndarray       # (N,) float32
+    traj_mask: jnp.ndarray    # (N,) bool
+    video_len: jnp.ndarray    # () int32
+    video_wh: jnp.ndarray     # (2,) float32 (w, h)
+
+    @property
+    def n_trajs(self):
+        return self.traj_mask.sum(-1)
+
+    @property
+    def frame_mask(self):
+        length = self.durations[..., 1] - self.durations[..., 0] + 1
+        t = self.boxes.shape[-2]
+        fm = jnp.arange(t) < length[..., None]
+        return fm & self.traj_mask[..., None]
+
+
+@struct.dataclass
+class GraphBatch:
+    """Padded ground-truth scene graph."""
+    traj_cats: jnp.ndarray       # (G,) int32
+    traj_durations: jnp.ndarray  # (G, 2) int32 closed
+    traj_boxes: jnp.ndarray      # (G, Tg, 4) float32 relative
+    traj_mask: jnp.ndarray       # (G,) bool
+    pred_cats: jnp.ndarray       # (P,) int32
+    pred_durations: jnp.ndarray  # (P, 2) float32 closed
+    pred_mask: jnp.ndarray       # (P,) bool
+    adj: jnp.ndarray             # (2, P, G) float32
+
+    @property
+    def n_preds(self):
+        return self.pred_mask.sum(-1)
+
+
+def pack_proposal(rec: VideoProposalRecord, n_bucket: int, t_bucket: int,
+                  feat_dim: int, dtype=np.float32) -> TrackletBatch:
+    """Pad one video's proposals into a fixed (N, T) bucket."""
+    n = rec.num_proposals
+    assert n <= n_bucket, (n, n_bucket)
+    feats = np.zeros((n_bucket, t_bucket, feat_dim), dtype=dtype)
+    boxes = np.zeros((n_bucket, t_bucket, 4), dtype=np.float32)
+    durations = np.zeros((n_bucket, 2), dtype=np.int32)
+    cat_ids = np.zeros((n_bucket,), dtype=np.int32)
+    scores = np.zeros((n_bucket,), dtype=np.float32)
+    mask = np.zeros((n_bucket,), dtype=bool)
+    lengths = np.zeros((n_bucket,), dtype=np.int32)
+    for i in range(n):
+        L = min(rec.boxes[i].shape[0], t_bucket)
+        feats[i, :L] = rec.features[i][:L]
+        boxes[i, :L] = rec.boxes[i][:L]
+        lengths[i] = L
+        durations[i] = rec.durations[i]
+        # clamp duration if the trajectory was truncated by the bucket
+        durations[i, 1] = durations[i, 0] + L - 1
+    cat_ids[:n] = rec.cat_ids
+    scores[:n] = rec.scores
+    mask[:n] = True
+    stretch_idx = stretch_index_np(lengths, t_bucket)
+    return TrackletBatch(
+        feats=jnp.asarray(feats), boxes=jnp.asarray(boxes),
+        stretch_idx=jnp.asarray(stretch_idx), durations=jnp.asarray(durations),
+        cat_ids=jnp.asarray(cat_ids), scores=jnp.asarray(scores),
+        traj_mask=jnp.asarray(mask),
+        video_len=jnp.asarray(rec.video_len, jnp.int32),
+        video_wh=jnp.asarray(np.asarray(rec.video_wh, np.float32)))
+
+
+def pack_gt(rec: VideoGTRecord, g_bucket: int, tg_bucket: int,
+            p_bucket: int) -> GraphBatch:
+    """Pad one video's GT graph into a fixed (G, Tg, P) bucket."""
+    g, p = rec.num_trajs, rec.num_preds
+    assert g <= g_bucket and p <= p_bucket, (g, g_bucket, p, p_bucket)
+    traj_boxes = np.zeros((g_bucket, tg_bucket, 4), dtype=np.float32)
+    traj_durations = np.zeros((g_bucket, 2), dtype=np.int32)
+    traj_cats = np.zeros((g_bucket,), dtype=np.int32)
+    traj_mask = np.zeros((g_bucket,), dtype=bool)
+    for i in range(g):
+        L = min(rec.traj_boxes[i].shape[0], tg_bucket)
+        traj_boxes[i, :L] = rec.traj_boxes[i][:L]
+        traj_durations[i] = rec.traj_durations[i]
+        traj_durations[i, 1] = traj_durations[i, 0] + L - 1
+    traj_cats[:g] = rec.traj_cat_ids
+    traj_mask[:g] = True
+
+    pred_cats = np.zeros((p_bucket,), dtype=np.int32)
+    pred_durations = np.zeros((p_bucket, 2), dtype=np.float32)
+    pred_mask = np.zeros((p_bucket,), dtype=bool)
+    adj = np.zeros((2, p_bucket, g_bucket), dtype=np.float32)
+    pred_cats[:p] = rec.pred_cat_ids
+    pred_durations[:p] = rec.pred_durations
+    pred_mask[:p] = True
+    adj[:, :p, :g] = rec.adj
+    return GraphBatch(
+        traj_cats=jnp.asarray(traj_cats),
+        traj_durations=jnp.asarray(traj_durations),
+        traj_boxes=jnp.asarray(traj_boxes), traj_mask=jnp.asarray(traj_mask),
+        pred_cats=jnp.asarray(pred_cats),
+        pred_durations=jnp.asarray(pred_durations),
+        pred_mask=jnp.asarray(pred_mask), adj=jnp.asarray(adj))
+
+
+def stack_batches(items):
+    """Stack a list of same-shaped pytrees along a new leading batch axis."""
+    import jax
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *items)

@@ -1,0 +1,136 @@
+"""Segment / sequence utilities: stretch-padding, pooling, fixed-shape dedup.
+
+``stretch`` padding replaces the reference's ``stack_with_repeat_2d``
+(reference utils/utils_func.py:93-121): a trajectory of L frames is padded to
+T frames by repeating row i ``ceil((T - i) / L)`` times (a nearest-neighbor
+upsample with the reference's exact block sizes).  We precompute the gather
+index once and apply it on device, so features are stored un-stretched.
+
+``unique_max`` is the jit-safe, fixed-shape replacement for
+``unique_with_idx_nd`` + keep-max-score (reference models/model_0v10.py:752-764):
+duplicate rows are found by packing each row into one int64 key, sorting by
+(key, -score), and marking group heads.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def stretch_index_np(lengths, t: int):
+    """Gather indices reproducing the reference repeat-padding.
+
+    Args:
+      lengths: (N,) int array of true lengths (>= 1; 0 allowed for padding
+        rows, which map to index 0).
+      t: target length.
+
+    Returns:
+      (N, T) int32 ``idx`` with ``stretched[n, k] = x[n, idx[n, k]]``.
+    """
+    lengths = np.asarray(lengths)
+    n = lengths.shape[0]
+    out = np.zeros((n, t), dtype=np.int32)
+    k = np.arange(t)
+    for i in range(n):
+        L = int(lengths[i])
+        if L <= 0:
+            continue
+        if L >= t:
+            out[i] = np.minimum(k, L - 1)[:t]
+            continue
+        # counts[j] = ceil((t - j) / L) for j in [0, L)
+        j = np.arange(L)
+        counts = -(-(t - j) // L)
+        csum = np.cumsum(counts)
+        out[i] = np.searchsorted(csum, k, side="right").astype(np.int32)
+    return out
+
+
+def stretch_index(lengths, t: int):
+    """JAX version of :func:`stretch_index_np` (vectorized over N)."""
+    lengths = jnp.asarray(lengths)
+    L = jnp.maximum(lengths, 1)[:, None]                 # (N, 1)
+    j = jnp.arange(t)[None, :]                           # (1, T)
+    counts = jnp.where(j < L, -(-(t - j) // L), 0)       # (N, T)
+    csum = jnp.cumsum(counts, axis=-1)                   # (N, T)
+    k = jnp.arange(t)[None, :]
+    # src[k] = #{j : csum[j] <= k}
+    src = (csum[:, None, :] <= k[:, :, None]).sum(-1)    # (N, T)
+    # long trajectories (L >= T) are truncated, not stretched
+    src = jnp.where(L >= t, jnp.minimum(k, L - 1), src)
+    return src.astype(jnp.int32)
+
+
+def stretch_lookup(x, idx):
+    """Apply a stretch gather.  x: (N, T, ...), idx: (N, T) -> same shape."""
+    idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+def adaptive_max_pool1d(x, out_len: int, axis: int = -2):
+    """torch.nn.functional.adaptive_max_pool1d over a static-length axis.
+
+    Bin i covers [floor(i*L/out), ceil((i+1)*L/out)); bins are static slices,
+    so this stays jit-friendly.  x: (..., L, ...) -> (..., out_len, ...).
+    """
+    L = x.shape[axis]
+    pieces = []
+    for i in range(out_len):
+        s = (i * L) // out_len
+        e = -(-((i + 1) * L) // out_len)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(s, e)
+        pieces.append(jnp.max(x[tuple(sl)], axis=axis, keepdims=True))
+    return jnp.concatenate(pieces, axis=axis)
+
+
+def pack_rows(rows, limits):
+    """Pack small non-negative int columns into sortable int32 key words.
+
+    rows: (M, K) ints with rows[:, k] in [0, limits[k]).  Columns are grouped
+    greedily so every word stays below 2**30 (JAX runs without x64 by
+    default); returns (M, W) int32.  Used to give each (pred_cat, subj_cat,
+    obj_cat, subj_tid, obj_tid) quintuple a unique sortable id.
+    """
+    rows = jnp.asarray(rows)
+    words, cur, prod = [], None, 1
+    cap = 1 << 30
+    for k, lim in enumerate(limits):
+        lim = int(lim)
+        if cur is None or prod * lim >= cap:
+            if cur is not None:
+                words.append(cur)
+            cur, prod = rows[..., k].astype(jnp.int32), lim
+        else:
+            cur = cur * lim + rows[..., k].astype(jnp.int32)
+            prod *= lim
+    words.append(cur)
+    return jnp.stack(words, axis=-1)
+
+
+def unique_max(keys, scores, valid):
+    """Deduplicate by key keeping the max-score representative (fixed shape).
+
+    Args:
+      keys: (M,) or (M, W) int32 group ids (multi-word keys from
+        :func:`pack_rows` are compared lexicographically).
+      scores: (M,) float; within a key group the max-score element wins.
+      valid: (M,) bool; invalid elements never win and never suppress.
+
+    Returns:
+      keep: (M,) bool — True for the single winner of each valid key group.
+    """
+    if keys.ndim == 1:
+        keys = keys[:, None]
+    big = jnp.iinfo(keys.dtype).max
+    k = jnp.where(valid[:, None], keys, big)
+    # lexsort: last key is primary -> (score desc, key words minor->major)
+    order = jnp.lexsort((-scores,) + tuple(k[:, w] for w in
+                                           range(k.shape[1] - 1, -1, -1)))
+    ks = k[order]
+    head = jnp.concatenate(
+        [jnp.array([True]), jnp.any(ks[1:] != ks[:-1], axis=-1)])
+    head = head & (ks[:, 0] != big)
+    keep = jnp.zeros_like(valid).at[order].set(head)
+    return keep
