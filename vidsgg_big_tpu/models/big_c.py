@@ -1,0 +1,275 @@
+"""BIG-C: the predicate-query classification model, TPU-native.
+
+Rebuilds the capabilities of the reference's BIG-C family
+(reference models/model_0v10.py:239-786 — the "vidvrd"/i3d variant — and
+models/model_0v7.py — the "vidor"/classeme variant) as one batched, masked,
+fixed-shape flax module.  One call processes a whole bucket of B videos:
+
+  tracklet geometry+RoI features (B, N, T, ·)
+    -> per-frame MLPs -> stride-2 temporal conv -> adaptive-max-pool to
+       ``enco_pool_len`` -> per-tracklet node embedding (B, N, E)
+    -> transformer encoder over the N tracklet tokens (masked)
+    -> role-factored query decoder producing soft adjacency (B, 2, Q, N)
+    -> prediction head (classeme/i3d gathers + frequency-bias logits)
+
+Variant crossover note: the reference exports file 0v10 as ``BIG_C_vidvrd``
+and file 0v7 as ``BIG_C_vidor`` (reference models/__init__.py:1-4); we keep
+those public aliases via ``variant='v10'|'v7'``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..data.types import TrackletBatch
+from ..ops.segments import stretch_lookup, adaptive_max_pool1d
+from .layers import (
+    MLP, TransformerEncoderLayer, RoleAttnDecoderLayer, sine_pos_embedding,
+    xavier_normal, xavier_uniform,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class BigCConfig:
+    num_pred_cats: int
+    num_enti_cats: int
+    dim_feat: int                 # RoI feature dim (2048 vidvrd / 1024 vidor)
+    dim_clsme: int = 300
+    dim_enti: int = 512
+    dim_pred: int = 512
+    dim_att: int = 512
+    dim_ffn: int = 512
+    dim_i3d: Optional[int] = None     # v10: extra I3D channels after dim_feat
+    enco_pool_len: int = 4
+    n_enco_layers: int = 2
+    n_deco_layers: int = 6
+    n_att_head: int = 8
+    num_querys: int = 192
+    dropout: float = 0.1
+    variant: str = "v10"          # "v10" (learned pos-emb, linear head)
+    #                               "v7" (sine pos-emb, MLP head, clsme switch)
+    use_clsme: bool = True        # v7 only: include classeme in the head
+    use_name_emb: bool = True     # v7: True -> EntiNameEmb lookup,
+    #                               False -> per-frame soft classeme channels
+    # training
+    neg_weight: float = 0.1
+    positive_viou_th: float = 0.5
+    cost_coeff_cls: float = 1.0
+    cost_coeff_adj: float = 30.0
+    loss_coeff_cls: float = 1.0
+    loss_coeff_adj: float = 30.0
+
+    @property
+    def clsme_in_feats(self) -> bool:
+        """Whether per-frame classeme channels ride after dim_feat in feats."""
+        return self.variant == "v7" and self.use_clsme and not self.use_name_emb
+
+    @classmethod
+    def from_dict(cls, d: dict, variant: str = "v10", **arrays):
+        """Build from a reference-style ``model_config`` dict (same keys)."""
+        return cls(
+            num_pred_cats=d["num_pred_cats"],
+            num_enti_cats=d["num_enti_cats"],
+            dim_feat=d["dim_feat"], dim_clsme=d.get("dim_clsme", 300),
+            dim_enti=d["dim_enti"], dim_pred=d["dim_pred"],
+            dim_att=d["dim_att"], dim_ffn=d["dim_ffn"],
+            dim_i3d=d.get("dim_i3d"),
+            enco_pool_len=d["enco_pool_len"],
+            n_enco_layers=d["n_enco_layers"],
+            n_deco_layers=d["n_deco_layers"],
+            n_att_head=d["n_att_head"], num_querys=d["num_querys"],
+            variant=variant,
+            use_clsme=d.get("use_clsme", True),
+            use_name_emb=d.get("EntiNameEmb_path") is not None
+            if variant == "v7" else True,
+            neg_weight=d.get("neg_weight", 0.1),
+            positive_viou_th=d.get("positive_vIoU_th", 0.5),
+            cost_coeff_cls=d.get("cost_coeff_dict", {}).get("classification", 1.0),
+            cost_coeff_adj=d.get("cost_coeff_dict", {}).get("adj_matrix", 30.0),
+            loss_coeff_cls=d.get("loss_coeff_dict", {}).get("classification", 1.0),
+            loss_coeff_adj=d.get("loss_coeff_dict", {}).get("adj_matrix", 30.0),
+        )
+
+
+def geometry_features(batch: TrackletBatch):
+    """Per-frame 8-dim box geometry, stretched to the bucket length.
+
+    Matches reference model_0v10.py:391-430: normalized center/size plus
+    *forward* frame differences zero-padded at the trajectory's last frame,
+    computed on raw frames and then repeat-stretched.
+    """
+    w = batch.video_wh[..., 0][..., None, None]
+    h = batch.video_wh[..., 1][..., None, None]
+    b = batch.boxes                                   # (..., N, T, 4)
+    x1, y1, x2, y2 = b[..., 0] / w, b[..., 1] / h, b[..., 2] / w, b[..., 3] / h
+    ctx, cty = (x2 + x1) / 2, (y2 + y1) / 2
+    bw, bh = x2 - x1, y2 - y1
+    vals = jnp.stack([ctx, cty, bw, bh], axis=-1)     # (..., N, T, 4)
+    diffs = jnp.concatenate(
+        [vals[..., 1:, :] - vals[..., :-1, :], jnp.zeros_like(vals[..., :1, :])],
+        axis=-2)
+    lengths = batch.durations[..., 1] - batch.durations[..., 0] + 1
+    t = b.shape[-2]
+    diff_ok = jnp.arange(t) < (lengths[..., None] - 1)
+    diffs = diffs * diff_ok[..., None]
+    geo = jnp.stack(
+        [vals[..., 0], diffs[..., 0], vals[..., 1], diffs[..., 1],
+         vals[..., 2], diffs[..., 2], vals[..., 3], diffs[..., 3]], axis=-1)
+    return geo
+
+
+class BigC(nn.Module):
+    """Batched BIG-C forward.  Apply with a leading batch axis on the input."""
+    cfg: BigCConfig
+    # frozen (non-trainable) tables
+    enti_name_emb: Optional[np.ndarray] = None   # (num_enti_cats, dim_clsme)
+
+    @property
+    def kinit(self):
+        return xavier_uniform if self.cfg.variant == "v7" else xavier_normal
+
+    @nn.compact
+    def __call__(self, batch: TrackletBatch, deterministic: bool = True):
+        """Returns dict with pred_queries (B,Q,Dp), pred_logits (B,Q,C),
+        att (B,2,Q,N), enti_feat (B,N,E)."""
+        cfg = self.cfg
+        geo = geometry_features(batch)                        # (B, N, T, 8)
+        geo = stretch_lookup(
+            geo.reshape((-1,) + geo.shape[-2:]),
+            batch.stretch_idx.reshape((-1,) + batch.stretch_idx.shape[-1:]),
+        ).reshape(geo.shape)
+        feats = stretch_lookup(
+            batch.feats.reshape((-1,) + batch.feats.shape[-2:]),
+            batch.stretch_idx.reshape((-1,) + batch.stretch_idx.shape[-1:]),
+        ).reshape(batch.feats.shape)                          # (B, N, T, D)
+
+        visual = feats[..., :cfg.dim_feat]
+        extra = feats[..., cfg.dim_feat:]                     # i3d or classeme
+
+        x_geo = MLP((cfg.dim_enti, cfg.dim_enti), kernel_init=self.kinit,
+                    name="fc_bbox2enti")(geo)
+        x_vis = MLP((cfg.dim_enti, cfg.dim_enti), kernel_init=self.kinit,
+                    name="fc_feat2enti")(visual)
+        x = jnp.concatenate([x_geo, x_vis], axis=-1)          # (B, N, T, 2E)
+
+        bsz, n, t, _ = x.shape
+        x = nn.Conv(cfg.dim_enti, kernel_size=(3,), strides=(2,),
+                    padding=[(1, 1)], kernel_init=self.kinit,
+                    name="conv_feat2enti")(x.reshape(bsz * n, t, -1))
+        x = adaptive_max_pool1d(x, cfg.enco_pool_len, axis=-2)  # (BN, pool, E)
+        x = x.reshape(bsz, n, cfg.enco_pool_len * cfg.dim_enti)
+        enti2enco = MLP((cfg.dim_enti, cfg.dim_enti), kernel_init=self.kinit,
+                        name="fc_enti2enco")(x)               # (B, N, E)
+
+        out = enti2enco
+        for i in range(cfg.n_enco_layers):
+            out = TransformerEncoderLayer(
+                cfg.dim_enti, cfg.n_att_head, cfg.dim_ffn, cfg.dropout,
+                kernel_init=self.kinit, name=f"encoder{i}")(
+                    out, key_mask=batch.traj_mask,
+                    deterministic=deterministic)
+        enco_output = out                                     # (B, N, E)
+
+        q_init = self.param("pred_query_init",
+                            nn.initializers.normal(0.1),
+                            (cfg.num_querys, cfg.dim_pred))
+        if cfg.variant == "v7":
+            pos_emb = jnp.asarray(
+                sine_pos_embedding(cfg.num_querys, cfg.dim_pred))
+        else:
+            pos_emb = self.param("pos_embedding",
+                                 nn.initializers.normal(0.1),
+                                 (cfg.num_querys, cfg.dim_pred))
+
+        pred_queries = jnp.broadcast_to(
+            q_init[None], (bsz, cfg.num_querys, cfg.dim_pred))
+        att = None
+        for i in range(cfg.n_deco_layers):
+            pred_queries, att = RoleAttnDecoderLayer(
+                cfg.dim_pred, cfg.n_att_head, cfg.dim_enti, cfg.dim_att,
+                cfg.dim_ffn, cfg.dropout, kernel_init=self.kinit,
+                name=f"decoder{i}")(
+                    pred_queries, pos_emb, enco_output, batch.traj_mask,
+                    deterministic=deterministic)
+
+        # time-averaged auxiliary per-tracklet features for the head
+        if cfg.dim_i3d:
+            extra_avg = extra.mean(axis=-2)                  # (B, N, dim_i3d)
+        elif cfg.clsme_in_feats:
+            extra_avg = extra.mean(axis=-2)                  # (B, N, dim_clsme)
+        else:
+            extra_avg = None
+
+        pred_logits = self._prediction_head(
+            pred_queries, att, batch.cat_ids, extra_avg, enti2enco)
+        return {
+            "pred_queries": pred_queries,
+            "pred_logits": pred_logits,
+            "att": att,
+            "enti_feat": enti2enco,
+        }
+
+    def _prediction_head(self, pred_queries, att, cat_ids, extra_avg,
+                         enti_feat):
+        """Reference model_0v10.py:478-507 / model_0v7.py:483-511, batched."""
+        cfg = self.cfg
+        pred_soid = jnp.argmax(att, axis=-1)                  # (B, 2, Q)
+        pred_socat = jnp.take_along_axis(
+            cat_ids[:, None, :], pred_soid, axis=-1)          # (B, 2, Q)
+
+        bias_matrix = self.param(
+            "bias_matrix", nn.initializers.zeros,
+            (cfg.num_enti_cats, cfg.num_enti_cats, cfg.num_pred_cats))
+        pred_bias = bias_matrix[pred_socat[:, 0], pred_socat[:, 1]]  # (B,Q,C)
+
+        gather_traj = lambda x, ids: jnp.take_along_axis(
+            x, ids[..., None], axis=1)
+        sub_feat = gather_traj(enti_feat, pred_soid[:, 0])    # (B, Q, E)
+        obj_feat = gather_traj(enti_feat, pred_soid[:, 1])
+
+        parts = [pred_queries]
+        if cfg.dim_i3d:  # v10 + I3D: reference model_0v10.py:495-501
+            fc_i3d = MLP((cfg.dim_enti,), kernel_init=self.kinit,
+                         name="fc_i3d")
+            sub_i3d = fc_i3d(gather_traj(extra_avg, pred_soid[:, 0]))
+            obj_i3d = fc_i3d(gather_traj(extra_avg, pred_soid[:, 1]))
+            name_emb = jnp.asarray(self.enti_name_emb)
+            sub_clsme = name_emb[pred_socat[:, 0]]
+            obj_clsme = name_emb[pred_socat[:, 1]]
+            parts += [sub_i3d, obj_i3d, sub_feat, obj_feat,
+                      sub_clsme, obj_clsme]
+        elif cfg.variant == "v7" and not cfg.use_clsme:
+            parts += [sub_feat, obj_feat]
+        else:
+            if cfg.clsme_in_feats:
+                sub_clsme = gather_traj(extra_avg, pred_soid[:, 0])
+                obj_clsme = gather_traj(extra_avg, pred_soid[:, 1])
+            else:
+                name_emb = jnp.asarray(self.enti_name_emb)
+                sub_clsme = name_emb[pred_socat[:, 0]]
+                obj_clsme = name_emb[pred_socat[:, 1]]
+            parts += [sub_clsme, obj_clsme, sub_feat, obj_feat]
+        combined = jnp.concatenate(parts, axis=-1)
+
+        if cfg.variant == "v7":
+            logits = MLP((cfg.dim_ffn, cfg.num_pred_cats), final_relu=False,
+                         kernel_init=self.kinit, name="fc_pred2logits")(
+                             combined)
+        else:
+            logits = nn.Dense(cfg.num_pred_cats, kernel_init=self.kinit,
+                              name="fc_pred2logits")(combined)
+        return logits + pred_bias
+
+    def load_tables(self, params, bias_matrix: np.ndarray):
+        """Overwrite the trainable bias_matrix with a precomputed prior."""
+        import flax
+        flat = flax.traverse_util.flatten_dict(params)
+        for k in list(flat):
+            if k[-1] == "bias_matrix":
+                assert flat[k].shape == bias_matrix.shape
+                flat[k] = jnp.asarray(bias_matrix)
+        return flax.traverse_util.unflatten_dict(flat)

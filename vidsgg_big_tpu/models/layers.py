@@ -1,0 +1,165 @@
+"""Shared transformer building blocks (flax.linen), batched and masked.
+
+The reference processes one video at a time with seq-len = n_trajs and
+batch = 1 (reference models/model_0v10.py:459-467); here every layer takes a
+(B, ...) batch with validity masks so a whole bucket of videos is one call.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+xavier_normal = nn.initializers.glorot_normal()
+xavier_uniform = nn.initializers.glorot_uniform()
+
+
+def sine_pos_embedding(length: int, d_model: int) -> np.ndarray:
+    """Sinusoidal positional embedding, reference models/model_0v10.py:228-237."""
+    i = np.arange(d_model)
+    freqs = np.where(i % 2 == 0, 10000.0 ** (-i / d_model),
+                     -(10000.0 ** ((1 - i) / d_model)))
+    phases = np.where(i % 2 == 0, 0.0, np.pi / 2)
+    pos = np.arange(length)[:, None].astype(np.float64)
+    return np.sin(pos * freqs[None, :] + phases[None, :]).astype(np.float32)
+
+
+class MLP(nn.Module):
+    """Linear->ReLU stacks used throughout (fc_feat2enti etc.)."""
+    features: tuple
+    final_relu: bool = True
+    kernel_init: callable = xavier_normal
+
+    @nn.compact
+    def __call__(self, x):
+        for k, f in enumerate(self.features):
+            x = nn.Dense(f, kernel_init=self.kernel_init, name=f"dense{k}")(x)
+            if k < len(self.features) - 1 or self.final_relu:
+                x = nn.relu(x)
+        return x
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with additive key-padding masking.
+
+    Equivalent math to torch.nn.MultiheadAttention (packed qkv + out proj).
+    """
+    dim: int
+    num_heads: int
+    dropout: float = 0.1
+    kernel_init: callable = xavier_normal
+
+    @nn.compact
+    def __call__(self, q, k, v, key_mask=None, deterministic=True):
+        # q: (B, Lq, D); k, v: (B, Lk, D); key_mask: (B, Lk) bool (True=valid)
+        h, d = self.num_heads, self.dim
+        hd = d // h
+        dense = lambda name: nn.DenseGeneral(
+            (h, hd), axis=-1, kernel_init=self.kernel_init, name=name)
+        qh = dense("q")(q)
+        kh = dense("k")(k)
+        vh = dense("v")(v)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(hd)
+        if key_mask is not None:
+            neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+            logits = jnp.where(key_mask[:, None, None, :], logits, neg)
+        attn = nn.softmax(logits, axis=-1)
+        if key_mask is not None:
+            # rows with zero valid keys produce uniform garbage; zero them
+            attn = jnp.where(key_mask[:, None, None, :], attn, 0.0)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+        out = nn.DenseGeneral(d, axis=(-2, -1), kernel_init=self.kernel_init,
+                              name="out")(out)
+        return out
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm encoder layer (reference models/model_0v10.py:70-139)."""
+    dim: int
+    num_heads: int
+    dim_ffn: int
+    dropout: float = 0.1
+    kernel_init: callable = xavier_normal
+
+    @nn.compact
+    def __call__(self, src, key_mask=None, pos=None, deterministic=True):
+        qk = src if pos is None else src + pos
+        src2 = MultiHeadAttention(
+            self.dim, self.num_heads, self.dropout,
+            kernel_init=self.kernel_init, name="self_attn")(
+                qk, qk, src, key_mask=key_mask, deterministic=deterministic)
+        src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
+        src = nn.LayerNorm(name="norm1")(src)
+        src2 = nn.Dense(self.dim_ffn, kernel_init=self.kernel_init,
+                        name="linear1")(src)
+        src2 = nn.Dropout(self.dropout)(nn.relu(src2),
+                                        deterministic=deterministic)
+        src2 = nn.Dense(self.dim, kernel_init=self.kernel_init,
+                        name="linear2")(src2)
+        src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
+        return nn.LayerNorm(name="norm2")(src)
+
+
+class RoleAttnDecoderLayer(nn.Module):
+    """Role-factored cross-attention decoder (reference model_0v10.py:142-225).
+
+    Produces the soft bipartite adjacency ``att`` (B, 2, Q, N): a product of a
+    softmax over entities (axis N, masked to valid trajectories) and a softmax
+    over the two roles (subject/object).
+    """
+    dim_pred: int
+    num_heads: int
+    dim_enti: int
+    dim_att: int
+    dim_ffn: int
+    dropout: float = 0.1
+    kernel_init: callable = xavier_normal
+
+    @nn.compact
+    def __call__(self, pred_query, pos_emb, enco_output, traj_mask,
+                 deterministic=True):
+        # pred_query: (B, Q, Dp); pos_emb: (Q, Dp); enco_output: (B, N, De)
+        qk = pred_query + pos_emb[None]
+        pq2 = MultiHeadAttention(
+            self.dim_pred, self.num_heads, self.dropout,
+            kernel_init=self.kernel_init, name="self_attn")(
+                qk, qk, pred_query, deterministic=deterministic)
+        pred_query = nn.LayerNorm(name="norm1")(pred_query + pq2)
+
+        pred_query = pred_query + pos_emb[None]
+        enti2att = nn.Dense(self.dim_att, kernel_init=self.kernel_init,
+                            name="fc_enti2att")(enco_output)   # (B, N, Da)
+        pred2att = nn.Dense(self.dim_att, kernel_init=self.kernel_init,
+                            name="fc_pred2att")(pred_query)    # (B, Q, Da)
+        half = self.dim_att // 2
+        # role r uses the r-th half of the att projection (equivalent to two
+        # separate half-width projections; reference model_0v10.py:193-194)
+        e = jnp.stack([enti2att[..., :half], enti2att[..., half:]], axis=1)
+        p = jnp.stack([pred2att[..., :half], pred2att[..., half:]], axis=1)
+        att_logits = jnp.einsum("brqd,brnd->brqn", p, e) / np.sqrt(self.dim_enti)
+
+        neg = jnp.asarray(jnp.finfo(att_logits.dtype).min, att_logits.dtype)
+        masked = jnp.where(traj_mask[:, None, None, :], att_logits, neg)
+        att_enti = nn.softmax(masked, axis=-1)
+        att_enti = jnp.where(traj_mask[:, None, None, :], att_enti, 0.0)
+        att_role = nn.softmax(att_logits, axis=1)
+        att = att_enti * att_role                               # (B, 2, Q, N)
+
+        values = jnp.einsum("brqn,bnd->brqd", att, enco_output)
+        role_q = 0.0
+        for r in range(2):
+            role_q = role_q + MLP(
+                (self.dim_pred, self.dim_pred), final_relu=False,
+                kernel_init=self.kernel_init,
+                name=f"fc_rolewise{r}")(values[:, r])
+        pred_query = nn.LayerNorm(name="norm2")(pred_query + role_q)
+
+        ffn = nn.Dense(self.dim_ffn, kernel_init=self.kernel_init,
+                       name="fc2_0")(pred_query)
+        ffn = nn.Dropout(self.dropout)(nn.relu(ffn),
+                                       deterministic=deterministic)
+        ffn = nn.Dense(self.dim_pred, kernel_init=self.kernel_init,
+                       name="fc2_1")(ffn)
+        pred_query = nn.LayerNorm(name="norm3")(pred_query + ffn)
+        return pred_query, att
