@@ -1,0 +1,155 @@
+"""Benchmark: per-video relation-inference throughput (BIG-C, flagship size).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "videos/sec", "vs_baseline": N}
+
+value       = our jitted BIG-C forward + triplet construction on the TPU,
+              flagship VidVRD exp2 geometry (N=50 tracklets, T=256 frames,
+              RoI 2048 + I3D 832, Q=192, dims 512, 2 enc / 6 dec layers).
+vs_baseline = speedup vs the reference PyTorch implementation executing the
+              same per-video workload on this host's CPU (the only reference
+              runtime measurable in this container; no GPU numbers are
+              published by the reference — see BASELINE.md "Throughput").
+"""
+import json
+import sys
+import time
+import types
+
+import numpy as np
+
+N_BUCKET, T_BUCKET = 50, 256
+DIM_FEAT, DIM_I3D = 2048, 832
+BATCH = 8
+N_TIMED = 5           # timed iterations (of BATCH videos each)
+N_REF_VIDEOS = 3      # torch-CPU reference videos to time
+
+
+def make_records(n_videos):
+    from vidsgg_big_tpu.data.synthetic import make_video
+    recs = []
+    for i in range(n_videos):
+        p, _ = make_video(i, video_len=480, n_gt_trajs=12, n_preds=16,
+                          n_distractors=34, feat_dim=DIM_FEAT + DIM_I3D,
+                          num_enti_cats=36, num_pred_cats=133)
+        recs.append(p)
+    return recs
+
+
+def bench_ours(recs):
+    import jax
+    from vidsgg_big_tpu.data.types import pack_proposal, stack_batches
+    from vidsgg_big_tpu.models import BigC, BigCConfig
+    from vidsgg_big_tpu.train.steps import build_infer_step
+
+    cfg = BigCConfig(
+        num_pred_cats=133, num_enti_cats=36, dim_feat=DIM_FEAT,
+        dim_clsme=300, dim_enti=512, dim_pred=512, dim_att=512, dim_ffn=512,
+        dim_i3d=DIM_I3D, enco_pool_len=4, n_enco_layers=2, n_deco_layers=6,
+        n_att_head=8, num_querys=192)
+    model = BigC(cfg, enti_name_emb=np.zeros((36, 300), np.float32))
+
+    batch = stack_batches([
+        pack_proposal(r, N_BUCKET, T_BUCKET, DIM_FEAT + DIM_I3D)
+        for r in recs[:BATCH]])
+    params = model.init(jax.random.PRNGKey(0), batch)
+    infer = build_infer_step(model, topk=10)
+
+    # NOTE: on the axon TPU backend jax.block_until_ready does NOT wait for
+    # execution; force a host fetch of a result leaf to measure true latency.
+    float(np.asarray(infer(params, batch).scores).sum())      # compile+warm
+    t0 = time.perf_counter()
+    for _ in range(N_TIMED):
+        out = infer(params, batch)
+        float(np.asarray(out.scores).sum())
+    dt = time.perf_counter() - t0
+    return BATCH * N_TIMED / dt
+
+
+def bench_reference(recs):
+    """Reference BIG-C (_forward_test) on torch CPU, same workload."""
+    import torch
+
+    # torchvision is absent; stub the single unused import in reference utils
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_ops = types.ModuleType("torchvision.ops")
+        tv_ops.roi_pool = None
+        tv.ops = tv_ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv_ops
+    sys.path.insert(0, "/root/reference")
+    try:
+        import tempfile, os
+        from models.model_0v10 import BIG_C
+
+        tmp = tempfile.mkdtemp()
+        np.save(os.path.join(tmp, "emb.npy"),
+                np.zeros((36, 300), np.float32))
+        np.save(os.path.join(tmp, "bias.npy"),
+                np.zeros((36, 36, 133), np.float32))
+        config = dict(
+            num_pred_cats=133, num_enti_cats=36, dim_feat=DIM_FEAT,
+            dim_clsme=300, dim_enti=512, dim_pred=512, dim_att=512,
+            dim_ffn=512, dim_i3d=DIM_I3D, enco_pool_len=4, n_enco_layers=2,
+            n_deco_layers=6, n_att_head=8, num_querys=192, neg_weight=0.1,
+            positive_vIoU_th=0.5,
+            EntiNameEmb_path=os.path.join(tmp, "emb.npy"),
+            bias_matrix_path=os.path.join(tmp, "bias.npy"),
+            cost_coeff_dict=dict(classification=1.0, adj_matrix=30.0),
+            loss_coeff_dict=dict(classification=1.0, adj_matrix=30.0))
+        model = BIG_C(config, is_train=False)
+        model.eval()
+
+        class P:  # duck-typed TrajProposal
+            pass
+
+        def to_proposal(rec):
+            p = P()
+            p.video_name = rec.video_name
+            p.video_len = rec.video_len
+            p.video_wh = rec.video_wh
+            p.num_proposals = min(rec.num_proposals, N_BUCKET)
+            p.cat_ids = torch.tensor(rec.cat_ids[:p.num_proposals],
+                                     dtype=torch.long)
+            p.scores = torch.tensor(rec.scores[:p.num_proposals])
+            p.traj_durations = torch.tensor(
+                rec.durations[:p.num_proposals], dtype=torch.long)
+            p.bboxes_list = [torch.tensor(b) for b in
+                             rec.boxes[:p.num_proposals]]
+            p.features_list = [torch.tensor(f) for f in
+                               rec.features[:p.num_proposals]]
+            return p
+
+        proposals = [to_proposal(r) for r in recs[:N_REF_VIDEOS]]
+        with torch.no_grad():
+            model([proposals[0]], topk=10)   # warm-up
+            t0 = time.perf_counter()
+            for p in proposals:
+                model([p], topk=10)
+            dt = time.perf_counter() - t0
+        return len(proposals) / dt
+    finally:
+        sys.path.remove("/root/reference")
+
+
+def main():
+    recs = make_records(max(BATCH, N_REF_VIDEOS))
+    ours = bench_ours(recs)
+    try:
+        ref = bench_reference(recs)
+    except Exception as e:
+        print(f"reference baseline failed: {e!r}", file=sys.stderr)
+        ref = None
+    vs = (ours / ref) if ref else 0.0
+    print(json.dumps({
+        "metric": "BIG-C relation inference throughput (N=50,T=256,"
+                  "RoI2048+I3D832,Q=192; vs reference PyTorch on host CPU)",
+        "value": round(ours, 3),
+        "unit": "videos/sec",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The container's sitecustomize imports jax at interpreter startup to register
+# the axon TPU plugin, which freezes jax's env-derived config defaults before
+# this file runs — so the env vars above are not enough; override the live
+# config too (XLA_FLAGS is still read lazily at CPU-backend init, so the env
+# mutation above does take effect for the 8-device mesh).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402

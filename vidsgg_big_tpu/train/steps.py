@@ -1,0 +1,79 @@
+"""Jitted train / inference steps, data-parallel over a device mesh.
+
+One compiled step per bucket shape.  Batches are sharded on the leading
+(video) axis; parameters/optimizer state are replicated; loss denominators
+are global sums so GSPMD inserts the cross-replica reductions automatically
+(no hand-written collectives — the ICI-native replacement for the reference's
+DataParallel scatter/gather, reference utils/DataParallel.py:42-90).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models.big_c import BigC
+from ..models.triplets import construct_triplets
+from .losses import bigc_train_loss
+from .train_state import TrainState
+
+
+def build_train_step(model: BigC, tx, mesh=None, donate: bool = True):
+    """Returns step(state, props, gts, dropout_rng) -> (state, metrics)."""
+    cfg = model.cfg
+
+    def step(state: TrainState, props, gts, rng):
+        def loss_fn(params):
+            out = model.apply(params, props, deterministic=False,
+                              rngs={"dropout": rng})
+            total, d = bigc_train_loss(out, props, gts, cfg)
+            return total, d
+
+        (total, d), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(grads, tx)
+        metrics = dict(d, total=total,
+                       grad_norm=optax_global_norm(grads))
+        return new_state, metrics
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        kwargs = dict(
+            in_shardings=(repl, data, data, repl),
+            out_shardings=(repl, repl),
+        )
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    return jax.jit(step, **kwargs)
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))
+
+
+def build_infer_step(model: BigC, topk: int, mesh=None):
+    """Returns infer(params, props) -> Triplets (batched)."""
+    cfg = model.cfg
+
+    def infer(params, props):
+        out = model.apply(params, props, deterministic=True)
+        trip = jax.vmap(
+            functools.partial(construct_triplets, topk=topk,
+                              num_enti_cats=cfg.num_enti_cats,
+                              num_pred_cats=cfg.num_pred_cats))(
+            out["pred_logits"], out["att"], props.durations, props.scores,
+            props.cat_ids, props.traj_mask)
+        return trip
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        kwargs = dict(in_shardings=(NamedSharding(mesh, P()),
+                                    NamedSharding(mesh, P("data"))),
+                      out_shardings=NamedSharding(mesh, P("data")))
+    return jax.jit(infer, **kwargs)

@@ -1,0 +1,73 @@
+"""Optimizer, LR schedule, train state, checkpointing.
+
+Training recipe matches the reference drivers (reference
+tools/train_vidvrd.py:123-164): Adam, MultiStep LR with epoch milestones
+converted to iterations, global-norm gradient clipping at 5.0, checkpoints
+carrying {step, params, opt_state} (orbax instead of torch .pth).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Sequence
+
+import jax
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    def apply_gradients(self, grads, tx):
+        updates, opt_state = tx.update(grads, self.opt_state, self.params)
+        params = optax.apply_updates(self.params, updates)
+        return TrainState(step=self.step + 1, params=params,
+                          opt_state=opt_state)
+
+
+def milestone_schedule(initial_lr: float, lr_decay: float,
+                       milestones_iters: Sequence[int]):
+    """MultiStepLR: multiply by lr_decay at each milestone iteration."""
+    return optax.piecewise_constant_schedule(
+        initial_lr, {int(m): lr_decay for m in milestones_iters})
+
+
+def make_optimizer(initial_lr: float, lr_decay: float,
+                   milestones_iters: Sequence[int],
+                   grad_clip: float = 5.0):
+    sched = milestone_schedule(initial_lr, lr_decay, milestones_iters)
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adam(sched),
+    ), sched
+
+
+def create_train_state(params, tx) -> TrainState:
+    import jax.numpy as jnp
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+# --------------------------- checkpointing ---------------------------------
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
+                    keep: int = 5):
+    import orbax.checkpoint as ocp
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    with ocp.CheckpointManager(
+            ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
+    ) as mngr:
+        mngr.save(step, args=ocp.args.StandardSave(state))
+
+
+def load_checkpoint(ckpt_dir: str, template: TrainState,
+                    step: int | None = None) -> tuple[TrainState, int]:
+    import orbax.checkpoint as ocp
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    with ocp.CheckpointManager(ckpt_dir) as mngr:
+        step = mngr.latest_step() if step is None else step
+        state = mngr.restore(step, args=ocp.args.StandardRestore(template))
+    return state, step
