@@ -1,0 +1,170 @@
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vidsgg_big_tpu.models.grounding import (
+    GroundingConfig, GroundingModel, grounding_gt_labels, temporal_pooling,
+    temporal_nms, grounding_decode)
+from vidsgg_big_tpu.train.grounding_data import prepare_grounding_gt
+from vidsgg_big_tpu.train.grounding_steps import grounding_train_loss
+from vidsgg_big_tpu.data.synthetic import make_video
+from vidsgg_big_tpu.data.types import pack_gt, stack_batches
+
+CFG = GroundingConfig(dim_feat=24, dim_clsme=16, dim_hidden=16, num_bins=4,
+                      num_pred_cats=10, num_enti_cats=8)
+
+
+@pytest.fixture(scope="module")
+def ref_debug_cls(reference_utils):
+    import sys
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.grd_model_v5 import DEBUG
+    finally:
+        sys.path.remove("/root/reference")
+    return DEBUG
+
+
+def test_gt_labels_match_reference(ref_debug_cls):
+    import torch
+    rng = np.random.default_rng(0)
+    qn, n_clips = 7, 23
+    s = rng.uniform(0, 0.6, qn)
+    e = s + rng.uniform(0.05, 0.39, qn)
+    target = np.stack([s, e], 1).astype(np.float32)
+
+    dummy = types.SimpleNamespace(num_bins=4)
+    ref = ref_debug_cls.get_gt_labels(dummy, torch.tensor(target), n_clips)
+    ref_regr, ref_ct, ref_sc, ref_bins = [x.numpy() for x in ref]
+
+    ours = grounding_gt_labels(jnp.asarray(target), jnp.asarray(n_clips),
+                               t=n_clips, num_bins=4)
+    regr, ct, sc, bins = [np.asarray(x) for x in ours]
+    np.testing.assert_array_equal(bins, ref_bins)
+    np.testing.assert_allclose(ct, ref_ct, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sc, ref_sc, rtol=1e-6)
+    # regr targets only matter where ctness > 0 (masked in the loss)
+    m = ref_ct > 0
+    np.testing.assert_allclose(regr[m], ref_regr[m], rtol=1e-5)
+
+
+def test_temporal_pooling_matches_reference(ref_debug_cls):
+    import torch
+    rng = np.random.default_rng(1)
+    qn, t, k = 3, 17, 4
+    regrs = rng.uniform(0.0, 0.4, size=(qn, t, 2, k)).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, size=(qn, t, k)).astype(np.float32)
+
+    dummy = types.SimpleNamespace(num_bins=k, score_th=0.5, tiou_th=0.5)
+    ref = ref_debug_cls.temporal_pooling(
+        dummy, torch.tensor(regrs.reshape(qn, t, 2 * k)),
+        torch.tensor(scores)).numpy()
+    # reference reshapes (T, 2k) -> (T, 2, k); match that memory layout
+    ours = temporal_pooling(
+        jnp.asarray(regrs), jnp.asarray(scores), jnp.asarray(t),
+        jnp.ones((t,), bool), score_th=0.5, tiou_th=0.5)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_temporal_nms_matches_reference(ref_debug_cls):
+    import torch
+    rng = np.random.default_rng(2)
+    qn, k1 = 5, 6
+    s = rng.uniform(0, 0.7, size=(qn, k1, 1))
+    spans = np.concatenate([s, s + rng.uniform(0.05, 0.3, size=(qn, k1, 1))],
+                           axis=-1).astype(np.float32)
+    probs = rng.uniform(size=(qn, k1)).astype(np.float32)
+    dummy = types.SimpleNamespace(nms_th=0.5,
+                                  _nms=ref_debug_cls._nms)
+    ref = ref_debug_cls.temporal_nms(
+        types.SimpleNamespace(nms_th=0.5, _nms=lambda b, p, th:
+                              ref_debug_cls._nms(dummy, b, p, th)),
+        torch.tensor(spans), torch.tensor(probs)).numpy()
+    ours = np.asarray(temporal_nms(jnp.asarray(spans), jnp.asarray(probs),
+                                   nms_th=0.5))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def _toy_batch(b=2, t=20, feat=24, p_bucket=8):
+    rng = np.random.default_rng(3)
+    vids = [make_video(7 + i, video_len=60, n_gt_trajs=4, n_preds=6,
+                       num_enti_cats=8, num_pred_cats=10, feat_dim=4)
+            for i in range(b)]
+    gts = stack_batches([pack_gt(g, 6, 64, p_bucket) for _, g in vids])
+    n_clips = np.array([t - 4, t], np.int32)
+    clip_mask = np.arange(t)[None, :] < n_clips[:, None]
+    video_feats = rng.normal(size=(b, t, feat)).astype(np.float32)
+    video_feats *= clip_mask[..., None]
+    video_len = np.array([v[1].video_len for v in vids], np.int32)
+    return (jnp.asarray(video_feats), jnp.asarray(clip_mask),
+            jnp.asarray(n_clips), gts, jnp.asarray(video_len))
+
+
+def test_prepare_grounding_gt_groups():
+    video_feats, clip_mask, n_clips, gts, video_len = _toy_batch()
+    prep = jax.vmap(
+        lambda g, vl, r: prepare_grounding_gt(g, vl, 10, r))(
+        gts, video_len, jax.random.split(jax.random.PRNGKey(0), 2))
+    qm = np.asarray(prep["query_mask"])
+    rep = np.asarray(prep["group_rep"])
+    is_rep = np.asarray(prep["is_rep"])
+    cats = np.asarray(prep["query_cats"])
+    neg = np.asarray(prep["neg_query_cats"])
+    for b in range(qm.shape[0]):
+        for p in np.where(qm[b])[0]:
+            r = rep[b, p]
+            assert qm[b, r] and is_rep[b, r]
+            # representative has identical query content
+            np.testing.assert_array_equal(cats[b, p], cats[b, r])
+            # negative predicate differs from the positive of its group
+            assert neg[b, p, 1] != cats[b, p, 1]
+            assert neg[b, p, 0] == cats[b, p, 0]
+            assert neg[b, p, 2] == cats[b, p, 2]
+
+
+def test_grounding_forward_and_loss():
+    model = GroundingModel(CFG)
+    video_feats, clip_mask, n_clips, gts, video_len = _toy_batch()
+    prep = jax.vmap(
+        lambda g, vl, r: prepare_grounding_gt(g, vl, 10, r))(
+        gts, video_len, jax.random.split(jax.random.PRNGKey(0), 2))
+    params = model.init(jax.random.PRNGKey(1), video_feats, clip_mask,
+                        prep["query_cats"], prep["temporal"],
+                        prep["query_mask"])
+
+    def loss_fn(params):
+        total, d = grounding_train_loss(
+            model, params, video_feats, clip_mask, n_clips, gts, video_len,
+            jax.random.PRNGKey(2), deterministic=True)
+        return total, d
+
+    (total, d), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(total))
+    assert set(d) == {"pos_cls", "neg_cls", "pos_ct", "neg_ct", "regr"}
+    gmax = max(float(jnp.abs(g).max())
+               for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gmax) and gmax > 0
+
+
+def test_grounding_decode_shapes_and_fallback():
+    rng = np.random.default_rng(4)
+    qn, t, k = 4, 16, 4
+    regrs = jnp.asarray(rng.uniform(0, 0.3, (qn, t, 2, k)), jnp.float32)
+    conf = jnp.asarray(rng.normal(size=(qn, t, k)), jnp.float32)
+    cls = jnp.asarray(rng.normal(size=(qn, t, k)), jnp.float32)
+    inter = jnp.asarray(
+        np.stack([np.full(qn, 0.2), np.full(qn, 0.8)], -1), jnp.float32)
+    pooled, probs, mask = grounding_decode(
+        regrs, conf, cls, inter, jnp.asarray(t), jnp.ones((t,), bool),
+        jnp.ones((qn,), bool), score_th=0.5, tiou_th=0.5, bins_th=0.2,
+        nms_th=0.5)
+    assert pooled.shape == (qn, k + 1, 2)
+    assert probs.shape == (qn, k + 1) and mask.shape == (qn, k + 1)
+    # each valid query keeps at least one bin
+    assert bool(np.asarray(mask).any(-1).all())
+    # all pooled spans clamped into the subj∩obj window or equal to it
+    p = np.asarray(pooled)
+    assert (p[..., 0] >= 0.2 - 1e-6).all() and (p[..., 1] <= 0.8 + 1e-6).all()

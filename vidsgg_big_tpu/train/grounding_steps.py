@@ -1,0 +1,85 @@
+"""Jitted grounding-stage train / inference steps."""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models.grounding import (
+    GroundingModel, grounding_gt_labels, grounding_loss, grounding_decode)
+from .grounding_data import prepare_grounding_gt
+from .train_state import TrainState
+
+
+def grounding_train_loss(model: GroundingModel, params, video_feats,
+                         clip_mask, n_clips, gts, video_len, rng,
+                         deterministic=False):
+    """Full grounding loss for a batch (video_feats (B,T,D), gts GraphBatch)."""
+    cfg = model.cfg
+    b = video_feats.shape[0]
+    rng_neg, rng_do1, rng_do2 = jax.random.split(rng, 3)
+    prep = jax.vmap(
+        functools.partial(prepare_grounding_gt,
+                          num_pred_cats=cfg.num_pred_cats))(
+        gts, video_len, rng=jax.random.split(rng_neg, b))
+
+    t = video_feats.shape[1]
+    out = model.apply(params, video_feats, clip_mask, prep["query_cats"],
+                      prep["temporal"], prep["query_mask"],
+                      deterministic=deterministic,
+                      rngs={"dropout": rng_do1})
+    neg_out = model.apply(params, video_feats, clip_mask,
+                          prep["neg_query_cats"], prep["temporal"],
+                          prep["query_mask"], deterministic=deterministic,
+                          rngs={"dropout": rng_do2})
+    labels = jax.vmap(
+        functools.partial(grounding_gt_labels, t=t, num_bins=cfg.num_bins))(
+        prep["target"], n_clips)
+    return grounding_loss(out, neg_out, labels, prep["group_rep"],
+                          prep["is_rep"], prep["query_mask"], clip_mask,
+                          cfg)
+
+
+def build_grounding_train_step(model: GroundingModel, tx, mesh=None,
+                               donate: bool = True):
+    def step(state: TrainState, video_feats, clip_mask, n_clips, gts,
+             video_len, rng):
+        def loss_fn(params):
+            return grounding_train_loss(
+                model, params, video_feats, clip_mask, n_clips, gts,
+                video_len, rng)
+        (total, d), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(grads, tx)
+        return new_state, dict(d, total=total)
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        kwargs = dict(in_shardings=(repl, data, data, data, data, data, repl),
+                      out_shardings=(repl, repl))
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    return jax.jit(step, **kwargs)
+
+
+def build_grounding_infer_step(model: GroundingModel, *, score_th, tiou_th,
+                               bins_th, nms_th):
+    """infer(params, video_feats (B,T,D), clip_mask, n_clips (B,), query_cats
+    (B,Q,3), temporal (B,Q,2), query_mask) -> (pooled, bins_probs, bins_mask)
+    each (B, Q, K+1, ...)."""
+
+    def infer(params, video_feats, clip_mask, n_clips, query_cats, temporal,
+              query_mask):
+        regrs, conf, cls = model.apply(
+            params, video_feats, clip_mask, query_cats, temporal, query_mask)
+        decode = functools.partial(grounding_decode, score_th=score_th,
+                                   tiou_th=tiou_th, bins_th=bins_th,
+                                   nms_th=nms_th)
+        return jax.vmap(decode)(regrs, conf, cls, temporal, n_clips,
+                                clip_mask, query_mask)
+
+    return jax.jit(infer)
