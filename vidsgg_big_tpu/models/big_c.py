@@ -122,6 +122,51 @@ def geometry_features(batch: TrackletBatch):
     return geo
 
 
+class TrackletEncoder(nn.Module):
+    """Per-tracklet node embedding shared by BIG-C and Base-C.
+
+    geometry + RoI MLPs -> stride-2 temporal conv -> adaptive max pool ->
+    flatten -> MLP (reference model_0v10.py:289-309, 446-458).  Returns
+    (enti2enco (B, N, E), extra (B, N, T, D_extra) stretched aux channels).
+    """
+    dim_enti: int
+    dim_feat: int
+    enco_pool_len: int
+    kernel_init: callable = xavier_normal
+
+    @nn.compact
+    def __call__(self, batch: TrackletBatch):
+        geo = geometry_features(batch)                        # (B, N, T, 8)
+        geo = stretch_lookup(
+            geo.reshape((-1,) + geo.shape[-2:]),
+            batch.stretch_idx.reshape((-1,) + batch.stretch_idx.shape[-1:]),
+        ).reshape(geo.shape)
+        feats = stretch_lookup(
+            batch.feats.reshape((-1,) + batch.feats.shape[-2:]),
+            batch.stretch_idx.reshape((-1,) + batch.stretch_idx.shape[-1:]),
+        ).reshape(batch.feats.shape)                          # (B, N, T, D)
+
+        visual = feats[..., :self.dim_feat]
+        extra = feats[..., self.dim_feat:]                    # i3d or classeme
+
+        x_geo = MLP((self.dim_enti, self.dim_enti), kernel_init=self.kernel_init,
+                    name="fc_bbox2enti")(geo)
+        x_vis = MLP((self.dim_enti, self.dim_enti), kernel_init=self.kernel_init,
+                    name="fc_feat2enti")(visual)
+        x = jnp.concatenate([x_geo, x_vis], axis=-1)          # (B, N, T, 2E)
+
+        bsz, n, t, _ = x.shape
+        x = nn.Conv(self.dim_enti, kernel_size=(3,), strides=(2,),
+                    padding=[(1, 1)], kernel_init=self.kernel_init,
+                    name="conv_feat2enti")(x.reshape(bsz * n, t, -1))
+        x = adaptive_max_pool1d(x, self.enco_pool_len, axis=-2)
+        x = x.reshape(bsz, n, self.enco_pool_len * self.dim_enti)
+        enti2enco = MLP((self.dim_enti, self.dim_enti),
+                        kernel_init=self.kernel_init,
+                        name="fc_enti2enco")(x)               # (B, N, E)
+        return enti2enco, extra
+
+
 class BigC(nn.Module):
     """Batched BIG-C forward.  Apply with a leading batch axis on the input."""
     cfg: BigCConfig
@@ -137,33 +182,10 @@ class BigC(nn.Module):
         """Returns dict with pred_queries (B,Q,Dp), pred_logits (B,Q,C),
         att (B,2,Q,N), enti_feat (B,N,E)."""
         cfg = self.cfg
-        geo = geometry_features(batch)                        # (B, N, T, 8)
-        geo = stretch_lookup(
-            geo.reshape((-1,) + geo.shape[-2:]),
-            batch.stretch_idx.reshape((-1,) + batch.stretch_idx.shape[-1:]),
-        ).reshape(geo.shape)
-        feats = stretch_lookup(
-            batch.feats.reshape((-1,) + batch.feats.shape[-2:]),
-            batch.stretch_idx.reshape((-1,) + batch.stretch_idx.shape[-1:]),
-        ).reshape(batch.feats.shape)                          # (B, N, T, D)
-
-        visual = feats[..., :cfg.dim_feat]
-        extra = feats[..., cfg.dim_feat:]                     # i3d or classeme
-
-        x_geo = MLP((cfg.dim_enti, cfg.dim_enti), kernel_init=self.kinit,
-                    name="fc_bbox2enti")(geo)
-        x_vis = MLP((cfg.dim_enti, cfg.dim_enti), kernel_init=self.kinit,
-                    name="fc_feat2enti")(visual)
-        x = jnp.concatenate([x_geo, x_vis], axis=-1)          # (B, N, T, 2E)
-
-        bsz, n, t, _ = x.shape
-        x = nn.Conv(cfg.dim_enti, kernel_size=(3,), strides=(2,),
-                    padding=[(1, 1)], kernel_init=self.kinit,
-                    name="conv_feat2enti")(x.reshape(bsz * n, t, -1))
-        x = adaptive_max_pool1d(x, cfg.enco_pool_len, axis=-2)  # (BN, pool, E)
-        x = x.reshape(bsz, n, cfg.enco_pool_len * cfg.dim_enti)
-        enti2enco = MLP((cfg.dim_enti, cfg.dim_enti), kernel_init=self.kinit,
-                        name="fc_enti2enco")(x)               # (B, N, E)
+        enti2enco, extra = TrackletEncoder(
+            cfg.dim_enti, cfg.dim_feat, cfg.enco_pool_len,
+            kernel_init=self.kinit, name="tracklet_encoder")(batch)
+        bsz, n = enti2enco.shape[:2]
 
         out = enti2enco
         for i in range(cfg.n_enco_layers):
