@@ -1,0 +1,225 @@
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from vidsgg_big_tpu.data import parse
+from vidsgg_big_tpu.data.interpolate import linear_interpolation
+from vidsgg_big_tpu.data.dataset import VidVRDDataset
+from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
+from vidsgg_big_tpu.data.synthetic import make_video
+from vidsgg_big_tpu.utils.categories import (
+    VIDVRD_ENTITIES, VIDVRD_PREDICATES, vidvrd_CatName2Id,
+    vidvrd_PredName2Id)
+
+DIM = 16
+
+
+def _make_raw_tracklets(rng, video_len=60, n_tracks=4, fmt="mega"):
+    """Rows in the reference .npy format with gaps and background rows."""
+    rows = []
+    for tid in range(n_tracks):
+        s = int(rng.integers(0, 20))
+        e = int(rng.integers(s + 8, min(s + 45, video_len)))
+        cat = int(rng.integers(1, 35))
+        for f in range(s, e):
+            if rng.uniform() < 0.15 and s < f < e - 1:
+                continue  # gap -> exercises interpolation
+            xywh = rng.uniform(10, 100, 4).round(2).tolist()
+            if fmt == "mega" and rng.uniform() < 0.2:
+                rows.append([f, tid] + xywh)       # len-6 background row
+            elif fmt == "pku" and rng.uniform() < 0.2:
+                rows.append([f, tid] + xywh + [0.0, -1]
+                            + rng.uniform(10, 100, 4).round(2).tolist()
+                            + [0.0] * DIM)
+            else:
+                det = rng.uniform(10, 100, 4).round(2).tolist()
+                feat = rng.normal(size=DIM).round(3).tolist()
+                rows.append([f, tid] + xywh + [float(rng.uniform(0.3, 1)),
+                                               cat] + det + feat)
+    # one too-short track -> must become background and be dropped
+    for f in range(3):
+        xywh = rng.uniform(10, 100, 4).round(2).tolist()
+        det = rng.uniform(10, 100, 4).round(2).tolist()
+        rows.append([f, n_tracks] + xywh + [0.9, 3] + det
+                    + rng.normal(size=DIM).round(3).tolist())
+    return np.array(rows, dtype=object)
+
+
+def _make_annotation(rng, video_len=60, n_trajs=3, n_rels=4):
+    trajs = []
+    frames = [[] for _ in range(video_len)]
+    durs = []
+    for tid in range(n_trajs):
+        cat = VIDVRD_ENTITIES[int(rng.integers(1, 36))]
+        trajs.append({"tid": tid, "category": cat})
+        s = int(rng.integers(0, 10))
+        e = int(rng.integers(s + 30, video_len))
+        durs.append((s, e))
+        for f in range(s, e):
+            if rng.uniform() < 0.1 and s < f < e - 1:
+                continue
+            x, y = rng.uniform(0, 200, 2)
+            w, h = rng.uniform(20, 100, 2)
+            frames[f].append({"tid": tid, "bbox": {
+                "xmin": float(x), "ymin": float(y),
+                "xmax": float(x + w), "ymax": float(y + h)}})
+    rels = []
+    for _ in range(n_rels):
+        si, oi = rng.choice(n_trajs, 2, replace=False)
+        s = max(durs[si][0], durs[oi][0])
+        e = min(durs[si][1], durs[oi][1])
+        if e - s < 10:
+            continue
+        pred = VIDVRD_PREDICATES[int(rng.integers(1, 133))]
+        # split into overlapping segments to exercise merge_duration_list
+        mid = (s + e) // 2
+        rels.append({"subject_tid": int(si), "object_tid": int(oi),
+                     "predicate": pred, "begin_fid": int(s),
+                     "end_fid": int(mid + 2)})
+        rels.append({"subject_tid": int(si), "object_tid": int(oi),
+                     "predicate": pred, "begin_fid": int(mid),
+                     "end_fid": int(e)})
+    return {"trajectories": frames, "subject/objects": trajs,
+            "relation_instances": rels, "width": 480, "height": 270}
+
+
+@pytest.fixture(scope="module")
+def reference_dataset_cls(reference_utils):
+    np.float = float    # the reference uses removed numpy aliases
+    np.int = int
+    sys.path.insert(0, "/root/reference")
+    try:
+        from dataloaders import dataloader_vidvrd as ref_dl
+    finally:
+        sys.path.remove("/root/reference")
+    return ref_dl
+
+
+def test_proposal_parser_matches_reference(tmp_path, reference_dataset_cls):
+    ref_dl = reference_dataset_cls
+    rng = np.random.default_rng(0)
+    raw = _make_raw_tracklets(rng, fmt="mega")
+    np.save(tmp_path / "vid0.npy", raw, allow_pickle=True)
+
+    ns = types.SimpleNamespace(proposal_dir=str(tmp_path), dim_boxfeature=DIM,
+                               min_frames_th=5, max_proposal=50)
+    ref_prop = ref_dl.Dataset._get_proposal(ns, "vid0")
+
+    parsed = parse.parse_tracklets_mega(raw, DIM, 5)
+    ours = parse.build_proposal_record("vid0", parsed, 50)
+
+    assert ours.num_proposals == ref_prop.num_proposals
+    np.testing.assert_array_equal(ours.cat_ids, ref_prop.cat_ids.numpy())
+    np.testing.assert_allclose(ours.scores, ref_prop.scores.numpy(),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(ours.durations,
+                                  ref_prop.traj_durations.numpy())
+    for i in range(ours.num_proposals):
+        np.testing.assert_allclose(
+            ours.boxes[i], ref_prop.bboxes_list[i].numpy(), rtol=1e-6)
+        np.testing.assert_allclose(
+            ours.features[i], ref_prop.features_list[i].numpy(), rtol=1e-6)
+
+
+def test_pku_parser_matches_reference(tmp_path, reference_dataset_cls):
+    ref_dl = reference_dataset_cls
+    rng = np.random.default_rng(1)
+    raw = _make_raw_tracklets(rng, fmt="pku")
+    np.save(tmp_path / "vidp.npy", raw, allow_pickle=True)
+    ns = types.SimpleNamespace(proposal_dir=str(tmp_path), dim_boxfeature=DIM,
+                               min_frames_th=5, max_proposal=50)
+    ref_prop = ref_dl.Dataset_pku._get_proposal(ns, "vidp")
+    parsed = parse.parse_tracklets_pku(raw, DIM, 5)
+    ours = parse.build_proposal_record("vidp", parsed, 50)
+    assert ours.num_proposals == ref_prop.num_proposals
+    np.testing.assert_allclose(ours.scores, ref_prop.scores.numpy(),
+                               rtol=1e-6)
+    for i in range(ours.num_proposals):
+        np.testing.assert_allclose(
+            ours.boxes[i], ref_prop.bboxes_list[i].numpy(), rtol=1e-6)
+        np.testing.assert_allclose(
+            ours.features[i], ref_prop.features_list[i].numpy(), rtol=1e-6)
+
+
+def test_gt_parser_matches_reference(tmp_path, reference_dataset_cls):
+    ref_dl = reference_dataset_cls
+    rng = np.random.default_rng(2)
+    anno = _make_annotation(rng)
+    ann_dir = tmp_path / "test"
+    ann_dir.mkdir()
+    with open(ann_dir / "vidg.json", "w") as f:
+        json.dump(anno, f)
+    ns = types.SimpleNamespace(video_ann_dir=str(ann_dir), split="test",
+                               max_preds=100)
+    ref_gt = ref_dl.Dataset._get_gt_graph(ns, "vidg")
+
+    ours = parse.parse_gt_annotation("vidg", anno, vidvrd_CatName2Id,
+                                     vidvrd_PredName2Id, max_preds=100)
+    assert ours.num_trajs == ref_gt.num_trajs
+    assert ours.num_preds == ref_gt.num_preds
+    np.testing.assert_array_equal(ours.traj_cat_ids,
+                                  ref_gt.traj_cat_ids.numpy())
+    np.testing.assert_array_equal(ours.traj_durations,
+                                  ref_gt.traj_durations.numpy())
+    np.testing.assert_array_equal(ours.pred_cat_ids,
+                                  ref_gt.pred_cat_ids.numpy())
+    np.testing.assert_allclose(ours.pred_durations,
+                               ref_gt.pred_durations.numpy())
+    np.testing.assert_array_equal(ours.adj, ref_gt.adj_matrix.numpy())
+    for i in range(ours.num_trajs):
+        np.testing.assert_allclose(ours.traj_boxes[i],
+                                   ref_gt.traj_bboxes[i].numpy(), rtol=1e-6)
+
+
+def test_linear_interpolation_matches_reference(reference_utils):
+    rng = np.random.default_rng(3)
+    frame_ids = [2, 3, 4, 8, 9, 15]
+    vecs = rng.normal(size=(len(frame_ids), 6))
+    ours = linear_interpolation(vecs.copy(), frame_ids)
+    ref = reference_utils.linear_interpolation(vecs.copy(), frame_ids)
+    np.testing.assert_allclose(ours, ref, rtol=1e-9)
+    assert ours.shape[0] == 15 - 2 + 1
+
+
+def test_dataset_end_to_end_with_cache(tmp_path):
+    rng = np.random.default_rng(4)
+    prop_dir = tmp_path / "props"
+    ann_dir = tmp_path / "anns" / "test"
+    cache_dir = tmp_path / "cache"
+    prop_dir.mkdir()
+    ann_dir.mkdir(parents=True)
+    for v in range(3):
+        np.save(prop_dir / f"vid{v}.npy", _make_raw_tracklets(rng),
+                allow_pickle=True)
+        with open(ann_dir / f"vid{v}.json", "w") as f:
+            json.dump(_make_annotation(rng), f)
+
+    kw = dict(split="test", ann_dir=str(tmp_path / "anns"),
+              proposal_dir=str(prop_dir), dim_boxfeature=DIM,
+              min_frames_th=5, max_proposal=50, max_preds=100,
+              cache_tag="t", cache_dir=str(cache_dir))
+    ds = VidVRDDataset(**kw)
+    assert len(ds) == 3
+    items = list(ds)
+    # second pass loads from cache and must be identical
+    ds2 = VidVRDDataset(**kw)
+    for (p1, g1), (p2, g2) in zip(items, ds2):
+        np.testing.assert_allclose(p1.scores, p2.scores, rtol=1e-6)
+        np.testing.assert_array_equal(p1.durations, p2.durations)
+        for b1, b2 in zip(p1.boxes, p2.boxes):
+            np.testing.assert_allclose(b1, b2, rtol=1e-6)
+        np.testing.assert_array_equal(g1.adj, g2.adj)
+
+    spec = BucketSpec(n_ladder=(8, 16), t_ladder=(64, 128), g_bucket=8,
+                      p_bucket=16, feat_dim=DIM)
+    batches = list(bucketed_batches(items, spec, batch_size=2))
+    total = sum(len(rows) for _, rows, _, _ in batches)
+    assert total >= 3
+    for key, rows, props, gts in batches:
+        assert props.feats.shape[0] == 2
+        assert props.feats.shape[1] == key[0]
+        assert props.feats.shape[2] == key[1]

@@ -230,3 +230,22 @@ def test_greedy_assignment_valid_permutation():
         vals = out[i, :m]
         assert (vals >= 0).all() and len(set(vals.tolist())) == m
         assert (out[i, m:] == -1).all()
+
+
+def test_hungarian_padded_gts_exceeding_queries():
+    """Regression: bucket P > Q with few valid gts must stay feasible (an
+    infeasible formulation used to hang the augmenting loop on TPU)."""
+    from scipy.optimize import linear_sum_assignment
+    rng = np.random.default_rng(18)
+    q, p = 6, 20
+    cost = rng.normal(size=(1, q, p)).astype(np.float32)
+    for m in (0, 3, 6, 11, 20):
+        out = np.asarray(hungarian(jnp.asarray(cost),
+                                   jnp.asarray([m], np.int32)))[0]
+        assert (out[m:] == -1).all()
+        if m == 0:
+            continue
+        rows, cols = linear_sum_assignment(cost[0, :, :m])
+        expect = np.full(p, -1, np.int32)
+        expect[cols] = rows
+        np.testing.assert_array_equal(out, expect)

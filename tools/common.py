@@ -1,0 +1,52 @@
+"""Shared CLI plumbing for the tools/ drivers."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def load_tables(model_config, num_enti, num_pred, dim_clsme=300):
+    """Load EntiNameEmb / bias matrix / PredNameEmb from the configured .npy
+    paths, falling back to zeros when absent (e.g. synthetic runs)."""
+    def _load(path, shape):
+        if path and os.path.exists(path):
+            arr = np.load(path).astype(np.float32)
+            assert arr.shape == tuple(shape), (path, arr.shape, shape)
+            return arr
+        return np.zeros(shape, np.float32)
+
+    enti_emb = _load(model_config.get("EntiNameEmb_path"),
+                     (num_enti, dim_clsme))
+    bias = _load(model_config.get("bias_matrix_path"),
+                 (num_enti, num_enti, num_pred))
+    pred_emb = _load(model_config.get("PredNameEmb_path"),
+                     (num_pred, dim_clsme))
+    return enti_emb, bias, pred_emb
+
+
+def make_dataset(dataset_config, dataset_type, synthetic=0, synthetic_root=None,
+                 fmt=None):
+    """Build the dataset; with --synthetic N, first write a synthetic split in
+    the reference layout and point the config at it."""
+    from vidsgg_big_tpu.data.dataset import VidVRDDataset, VidORDataset
+    from vidsgg_big_tpu.data import synthetic_raw
+
+    cfg = dict(dataset_config)
+    if synthetic:
+        root = synthetic_root or os.path.join("datasets", "synthetic")
+        os.makedirs(root, exist_ok=True)
+        if dataset_type == "vidvrd":
+            cfg = synthetic_raw.write_synthetic_vidvrd(
+                root, n_videos=synthetic, split=cfg.get("split", "test"),
+                fmt=fmt or cfg.get("fmt", "pku_i3d"))
+        else:
+            cfg = synthetic_raw.write_synthetic_vidor(
+                root, n_videos=synthetic, split=cfg.get("split", "val"))
+    if dataset_type == "vidvrd":
+        if fmt and not synthetic:
+            cfg["fmt"] = fmt
+        return VidVRDDataset(**cfg), cfg
+    cfg.pop("video_dir", None)
+    return VidORDataset(**cfg), cfg

@@ -1,0 +1,133 @@
+"""Evaluate BIG-C on VidVRD (capability-parity with reference
+tools/eval_vidvrd.py:42-198 + the our-gt variant): bucketed jitted inference,
+challenge-format conversion, relation-detection metrics.
+
+GT source: --gt_json (challenge GT file) or, by default, the dataset's own
+interpolated GT graphs (the reference's *_our_gt.py path).
+"""
+import argparse
+import json
+import os
+import pickle
+
+import jax
+
+from common import make_dataset, load_tables
+from vidsgg_big_tpu.utils.config import parse_config_py
+from vidsgg_big_tpu.utils.logger import create_logger
+from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
+from vidsgg_big_tpu.models import BigC, BigCConfig
+from vidsgg_big_tpu.train.train_state import (
+    make_optimizer, create_train_state, load_checkpoint)
+from vidsgg_big_tpu.train.steps import build_infer_step
+from vidsgg_big_tpu.evaluation.convert import EvalFmtCvtor
+from vidsgg_big_tpu.evaluation.metrics import eval_relation_with_gt
+
+
+def inference_then_eval(args):
+    experiment_dir = args.output_dir or os.path.dirname(args.cfg_path)
+    log_dir = os.path.join(experiment_dir, "logfile")
+    os.makedirs(log_dir, exist_ok=True)
+    logger = create_logger(os.path.join(log_dir,
+                                        f"eval_{args.save_tag}.log"))
+    all_cfgs = parse_config_py(args.cfg_path)
+    model_config = all_cfgs["model_config"]
+    infer_config = all_cfgs.get("inference_config", {})
+    topk = args.topk or infer_config.get("topk", 10)
+
+    if args.json_results_path:
+        logger.info(f"re-scoring saved predictions {args.json_results_path}")
+        return eval_relation_with_gt(
+            dataset_type="vidvrd", logger=logger,
+            json_results_path=args.json_results_path,
+            gt_relations_path=args.gt_json)
+
+    dataset, _ = make_dataset(
+        all_cfgs["test_dataset_config"], "vidvrd",
+        synthetic=args.synthetic, synthetic_root=args.synthetic_root,
+        fmt="pku_i3d" if args.use_pku else args.fmt)
+    logger.info(f"dataset: {len(dataset)} videos")
+
+    cfg = BigCConfig.from_dict(model_config, variant="v10")
+    enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
+                                    cfg.num_pred_cats, cfg.dim_clsme)
+    model = BigC(cfg, enti_name_emb=enti_emb)
+    items = list(dataset)
+    feat_dim = items[0][0].features[0].shape[1]
+    spec = BucketSpec(feat_dim=feat_dim)
+
+    first = next(iter(bucketed_batches(items, spec, 1, with_gt=False)))
+    params = model.init(jax.random.PRNGKey(0), first[2])
+    params = model.load_tables(params, bias)
+    if args.ckpt_path:
+        tx, _ = make_optimizer(1e-4, 0.2, [1])
+        state = create_train_state(params, tx)
+        state, step = load_checkpoint(args.ckpt_path, state)
+        params = state.params
+        logger.info(f"loaded checkpoint {args.ckpt_path} (step {step})")
+
+    infer = build_infer_step(model, topk=topk)
+    convertor = EvalFmtCvtor("vidvrd")
+    predict_relations = {}
+    infer_results = {}
+    logger.info("start inference...")
+    for key, rows, props, _ in bucketed_batches(items, spec, args.batch_size,
+                                                with_gt=False):
+        trip = jax.device_get(infer(params, props))
+        # (batch remainders are padded by repeating the last video; the dict
+        #  update below dedups those repeats by video name)
+        for i, (prop, _gt) in enumerate(rows):
+            one = jax.tree_util.tree_map(lambda x: x[i], trip)
+            pr = convertor.to_eval_format_pr(prop, one,
+                                             use_pku=args.use_pku)
+            predict_relations.update(pr)
+            infer_results[prop.video_name] = one
+    logger.info(f"inference done on {len(predict_relations)} videos")
+
+    if args.save_infer_result:
+        p = os.path.join(experiment_dir,
+                         f"VidVRDtest_infer_result_{args.save_tag}.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(infer_results, f)
+        logger.info(f"infer_result saved at {p}")
+
+    if args.gt_json:
+        gt_relations = None
+        gt_path = args.gt_json
+    else:
+        logger.info("building GT from dataset annotations (our-gt path)")
+        gt_relations = {}
+        for prop, gt in items:
+            gt_relations.update(convertor.to_eval_format_gt(gt))
+        gt_path = None
+    out = eval_relation_with_gt(
+        dataset_type="vidvrd", logger=logger,
+        prediction_results=predict_relations,
+        gt_relations_path=gt_path, gt_relations=gt_relations)
+
+    if args.save_json_results:
+        p = os.path.join(experiment_dir,
+                         f"VidVRDtest_predict_relations_{args.save_tag}.json")
+        with open(p, "w") as f:
+            json.dump(predict_relations, f)
+        logger.info(f"predict_relations saved at {p}")
+    return out
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_path", type=str, required=True)
+    parser.add_argument("--ckpt_path", type=str, default=None)
+    parser.add_argument("--use_pku", action="store_true")
+    parser.add_argument("--fmt", type=str, default="mega")
+    parser.add_argument("--save_tag", type=str, default="")
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--topk", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--gt_json", type=str, default=None)
+    parser.add_argument("--json_results_path", type=str, default=None)
+    parser.add_argument("--save_infer_result", action="store_true")
+    parser.add_argument("--save_json_results", action="store_true")
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--synthetic_root", type=str, default=None)
+    inference_then_eval(parser.parse_args())

@@ -1,0 +1,275 @@
+"""Train on VidOR: BIG-C classification stage, Base-C baseline, or the
+grounding stage (capability-parity with reference tools/train_vidor.py:175-706,
+flags --train_baseline / --train_grounding select the mode as in the
+reference CLI)."""
+import argparse
+import os
+import time
+
+import numpy as np
+import jax
+
+from common import make_dataset, load_tables
+from vidsgg_big_tpu.utils.config import parse_config_py
+from vidsgg_big_tpu.utils.logger import create_logger, MetricWriter
+from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
+from vidsgg_big_tpu.models import BigC, BigCConfig
+from vidsgg_big_tpu.models.base_c import BaseC, BaseCConfig, basec_train_loss
+from vidsgg_big_tpu.models.grounding import GroundingConfig, GroundingModel
+from vidsgg_big_tpu.parallel.mesh import make_mesh, shard_batch, replicated
+from vidsgg_big_tpu.train.train_state import (
+    make_optimizer, create_train_state, save_checkpoint, load_checkpoint)
+from vidsgg_big_tpu.train.steps import build_train_step
+from vidsgg_big_tpu.train.grounding_steps import build_grounding_train_step
+from vidsgg_big_tpu.data.types import pack_gt, stack_batches
+
+
+def _setup(args, tag):
+    experiment_dir = args.output_dir or os.path.dirname(args.cfg_path)
+    log_dir = os.path.join(experiment_dir, "logfile")
+    os.makedirs(log_dir, exist_ok=True)
+    logger = create_logger(os.path.join(log_dir, f"train_{tag}.log"))
+    writer = MetricWriter(log_dir)
+    all_cfgs = parse_config_py(args.cfg_path)
+    return experiment_dir, logger, writer, all_cfgs
+
+
+def train_cls_stage(args):
+    experiment_dir, logger, writer, all_cfgs = _setup(
+        args, f"cls_{args.save_tag}")
+    model_config = all_cfgs["model_config"]
+    train_config = all_cfgs["train_config"]
+    dataset, _ = make_dataset(all_cfgs["train_dataset_config"], "vidor",
+                              synthetic=args.synthetic,
+                              synthetic_root=args.synthetic_root)
+    items = [(it[-2], it[-1]) for it in dataset]
+    logger.info(f"dataset: {len(items)} videos")
+
+    cfg = BigCConfig.from_dict(model_config, variant="v7")
+    enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
+                                    cfg.num_pred_cats, cfg.dim_clsme)
+    model = BigC(cfg, enti_name_emb=enti_emb)
+    _generic_train(args, logger, writer, experiment_dir, model, bias,
+                   train_config, items, model_config)
+
+
+def train_baseline(args):
+    experiment_dir, logger, writer, all_cfgs = _setup(
+        args, f"base_{args.save_tag}")
+    model_config = all_cfgs["model_config"]
+    train_config = all_cfgs["train_config"]
+    dataset, _ = make_dataset(all_cfgs["train_dataset_config"], "vidor",
+                              synthetic=args.synthetic,
+                              synthetic_root=args.synthetic_root)
+    items = [(it[-2], it[-1]) for it in dataset]
+    cfg = BaseCConfig.from_dict(model_config)
+    enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
+                                    cfg.num_pred_cats, cfg.dim_clsme)
+    model = BaseC(cfg, enti_name_emb=enti_emb)
+
+    batch_size = args.batch_size or train_config["batch_size"]
+    total_epoch = args.epochs or train_config["total_epoch"]
+    iters_per_epoch = max(len(items) // batch_size, 1)
+    milestones = [m * iters_per_epoch
+                  for m in train_config["epoch_lr_milestones"]]
+    tx, sched = make_optimizer(train_config["initial_lr"],
+                               train_config["lr_decay"], milestones)
+    feat_dim = items[0][0].features[0].shape[1]
+    spec = BucketSpec(feat_dim=feat_dim, n_ladder=(8, 16, 32, 64),
+                      p_bucket=model_config.get("max_preds", 128))
+    first = next(iter(bucketed_batches(items, spec, batch_size)))
+    params = model.init(jax.random.PRNGKey(args.seed), first[2])
+    import flax.traverse_util as tu
+    flat = tu.flatten_dict(params)
+    for k in list(flat):
+        if k[-1] == "bias_matrix":
+            flat[k] = jax.numpy.asarray(bias)
+    params = tu.unflatten_dict(flat)
+    state = create_train_state(params, tx)
+
+    def step(state, props, gts, rng):
+        def loss_fn(p):
+            out = model.apply(p, props, deterministic=False)
+            return basec_train_loss(out, props, gts, cfg)
+        (total, d), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        return state.apply_gradients(grads, tx), dict(d, total=total)
+
+    step = jax.jit(step, donate_argnums=(0,))
+    rng = jax.random.PRNGKey(args.seed + 1)
+    it = 0
+    for epoch in range(total_epoch):
+        losses = []
+        for key, rows, props, gts in bucketed_batches(
+                items, spec, batch_size, shuffle=True, seed=epoch):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, props, gts, sub)
+            it += 1
+            losses.append(float(metrics["total"]))
+            if it % 10 == 0:
+                writer.add_scalar("loss/total", losses[-1], it)
+        logger.info(f"epoch {epoch} mean loss {np.mean(losses):.4f}")
+        if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
+            ckpt = os.path.join(experiment_dir,
+                                f"checkpoints_base_{args.save_tag}")
+            save_checkpoint(ckpt, jax.device_get(state), it)
+            logger.info(f"checkpoint saved at {ckpt}")
+    writer.close()
+
+
+def train_grounding_stage(args):
+    experiment_dir, logger, writer, all_cfgs = _setup(
+        args, f"grd_{args.save_tag}")
+    model_config = all_cfgs["model_config"]
+    train_config = all_cfgs["train_config"]
+    dataset, _ = make_dataset(all_cfgs["train_dataset_config"], "vidor",
+                              synthetic=args.synthetic,
+                              synthetic_root=args.synthetic_root)
+    assert dataset.use_video_features, \
+        "grounding stage needs video_feature_dir in the dataset config"
+    cfg = GroundingConfig.from_dict(model_config)
+    import os.path as osp
+    enti_emb, _, pred_emb = load_tables(model_config, cfg.num_enti_cats,
+                                        cfg.num_pred_cats, cfg.dim_clsme)
+    has_e = model_config.get("EntiNameEmb_path") and osp.exists(
+        model_config["EntiNameEmb_path"])
+    has_p = model_config.get("PredNameEmb_path") and osp.exists(
+        model_config["PredNameEmb_path"])
+    model = GroundingModel(cfg, enti_emb_init=enti_emb if has_e else None,
+                           pred_emb_init=pred_emb if has_p else None)
+
+    items = list(dataset)    # (video_feature, prop, gt)
+    batch_size = args.batch_size or train_config["batch_size"]
+    total_epoch = args.epochs or train_config["total_epoch"]
+    iters_per_epoch = max(len(items) // batch_size, 1)
+    milestones = [m * iters_per_epoch
+                  for m in train_config["epoch_lr_milestones"]]
+    tx, _ = make_optimizer(train_config["initial_lr"],
+                           train_config["lr_decay"], milestones)
+
+    # clip bucket: next power of two over the max clip count
+    max_clips = max(it[0].shape[0] for it in items)
+    t_bucket = 1 << (max_clips - 1).bit_length()
+    p_bucket = model_config.get("max_preds", 200)
+
+    def make_batch(rows):
+        feats = np.zeros((len(rows), t_bucket, cfg.dim_feat), np.float32)
+        n_clips = np.zeros((len(rows),), np.int32)
+        video_len = np.zeros((len(rows),), np.int32)
+        gts = []
+        for i, (vf, prop, gt) in enumerate(rows):
+            n = min(vf.shape[0], t_bucket)
+            feats[i, :n] = vf[:n]
+            n_clips[i] = n
+            video_len[i] = gt.video_len
+            gts.append(pack_gt(gt, g_bucket=32, tg_bucket=64,
+                               p_bucket=p_bucket))
+        clip_mask = np.arange(t_bucket)[None] < n_clips[:, None]
+        return (jax.numpy.asarray(feats), jax.numpy.asarray(clip_mask),
+                jax.numpy.asarray(n_clips), stack_batches(gts),
+                jax.numpy.asarray(video_len))
+
+    rows0 = items[:batch_size]
+    feats, clip_mask, n_clips, gts, video_len = make_batch(rows0)
+    from vidsgg_big_tpu.train.grounding_data import prepare_grounding_gt
+    prep = jax.vmap(lambda g, vl, r: prepare_grounding_gt(
+        g, vl, cfg.num_pred_cats, r))(
+        gts, video_len, jax.random.split(jax.random.PRNGKey(0), len(rows0)))
+    params = model.init(jax.random.PRNGKey(args.seed), feats, clip_mask,
+                        prep["query_cats"], prep["temporal"],
+                        prep["query_mask"])
+    state = create_train_state(params, tx)
+    step = build_grounding_train_step(model, tx, donate=False)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    it = 0
+    for epoch in range(total_epoch):
+        losses = []
+        order = np.random.default_rng(epoch).permutation(len(items))
+        for s in range(0, len(items) - batch_size + 1, batch_size):
+            rows = [items[j] for j in order[s:s + batch_size]]
+            batch = make_batch(rows)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, *batch, sub)
+            it += 1
+            losses.append(float(metrics["total"]))
+            if it % 10 == 0:
+                writer.add_scalar("loss/total", losses[-1], it)
+        logger.info(f"epoch {epoch} mean loss {np.mean(losses):.4f}")
+        if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
+            ckpt = os.path.join(experiment_dir,
+                                f"checkpoints_grd_{args.save_tag}")
+            save_checkpoint(ckpt, jax.device_get(state), it)
+            logger.info(f"checkpoint saved at {ckpt}")
+    writer.close()
+
+
+def _generic_train(args, logger, writer, experiment_dir, model, bias,
+                   train_config, items, model_config):
+    from vidsgg_big_tpu.train.steps import build_train_step
+    batch_size = args.batch_size or train_config["batch_size"]
+    total_epoch = args.epochs or train_config["total_epoch"]
+    iters_per_epoch = max(len(items) // batch_size, 1)
+    milestones = [m * iters_per_epoch
+                  for m in train_config["epoch_lr_milestones"]]
+    tx, sched = make_optimizer(train_config["initial_lr"],
+                               train_config["lr_decay"], milestones)
+    feat_dim = items[0][0].features[0].shape[1]
+    spec = BucketSpec(feat_dim=feat_dim,
+                      p_bucket=model_config.get("max_preds", 128))
+    mesh = make_mesh() if args.data_parallel else None
+    first = next(iter(bucketed_batches(items, spec, batch_size)))
+    params = model.init(jax.random.PRNGKey(args.seed), first[2])
+    params = model.load_tables(params, bias)
+    state = create_train_state(params, tx)
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+    step_fn = build_train_step(model, tx, mesh=mesh)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    it = 0
+    for epoch in range(total_epoch):
+        t0 = time.time()
+        losses = []
+        for key, rows, props, gts in bucketed_batches(
+                items, spec, batch_size, shuffle=True, seed=epoch):
+            if mesh is not None:
+                props = shard_batch(props, mesh)
+                gts = shard_batch(gts, mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, props, gts, sub)
+            it += 1
+            losses.append(float(metrics["total"]))
+            if it % 10 == 0:
+                writer.add_scalar("loss/total", losses[-1], it)
+        logger.info(f"epoch {epoch} done in {time.time()-t0:.1f}s "
+                    f"mean loss {np.mean(losses):.4f}")
+        if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
+            ckpt = os.path.join(experiment_dir,
+                                f"checkpoints_cls_{args.save_tag}")
+            save_checkpoint(ckpt, jax.device_get(state), it)
+            logger.info(f"checkpoint saved at {ckpt}")
+    writer.close()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_path", type=str, required=True)
+    parser.add_argument("--train_baseline", action="store_true")
+    parser.add_argument("--train_grounding", action="store_true")
+    parser.add_argument("--save_tag", type=str, default="")
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--from_checkpoint", action="store_true")
+    parser.add_argument("--ckpt_path", type=str, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--ckpt_every", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--data_parallel", action="store_true")
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--synthetic_root", type=str, default=None)
+    args = parser.parse_args()
+    if args.train_baseline:
+        train_baseline(args)
+    elif args.train_grounding:
+        train_grounding_stage(args)
+    else:
+        train_cls_stage(args)

@@ -1,0 +1,132 @@
+"""Train BIG-C on VidVRD (capability-parity with reference
+tools/train_vidvrd.py:41-213): Adam + epoch-milestone LR (converted to
+iterations) + grad-clip 5.0, checkpoint/resume, metric journaling — but
+TPU-native: bucketed fixed-shape batches, one jitted train step per bucket,
+data-parallel over the device mesh.
+"""
+import argparse
+import os
+import time
+
+import numpy as np
+import jax
+
+from common import make_dataset, load_tables
+from vidsgg_big_tpu.utils.config import parse_config_py
+from vidsgg_big_tpu.utils.logger import create_logger, MetricWriter
+from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
+from vidsgg_big_tpu.models import BigC, BigCConfig
+from vidsgg_big_tpu.parallel.mesh import make_mesh, shard_batch, replicated
+from vidsgg_big_tpu.train.train_state import (
+    make_optimizer, create_train_state, save_checkpoint, load_checkpoint)
+from vidsgg_big_tpu.train.steps import build_train_step
+
+
+def train(args):
+    experiment_dir = args.output_dir or os.path.dirname(args.cfg_path)
+    log_dir = os.path.join(experiment_dir, "logfile")
+    os.makedirs(log_dir, exist_ok=True)
+    logger = create_logger(os.path.join(log_dir, f"train_{args.save_tag}.log"))
+    writer = MetricWriter(log_dir)
+
+    all_cfgs = parse_config_py(args.cfg_path)
+    model_config = all_cfgs["model_config"]
+    train_config = all_cfgs["train_config"]
+    logger.info(f"model_config: {model_config}")
+    logger.info(f"train_config: {train_config}")
+
+    dataset, ds_cfg = make_dataset(
+        all_cfgs["train_dataset_config"], "vidvrd",
+        synthetic=args.synthetic, synthetic_root=args.synthetic_root,
+        fmt="pku_i3d" if args.use_pku else args.fmt)
+    logger.info(f"dataset: {len(dataset)} videos")
+
+    cfg = BigCConfig.from_dict(model_config, variant="v10")
+    enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
+                                    cfg.num_pred_cats, cfg.dim_clsme)
+    model = BigC(cfg, enti_name_emb=enti_emb)
+
+    batch_size = args.batch_size or train_config["batch_size"]
+    total_epoch = args.epochs or train_config["total_epoch"]
+    items = list(dataset)
+    iters_per_epoch = max(len(items) // batch_size, 1)
+    milestones = [m * iters_per_epoch
+                  for m in train_config["epoch_lr_milestones"]]
+    tx, sched = make_optimizer(train_config["initial_lr"],
+                               train_config["lr_decay"], milestones)
+
+    feat_dim = items[0][0].features[0].shape[1]
+    spec = BucketSpec(feat_dim=feat_dim, g_bucket=32,
+                      p_bucket=model_config.get("max_preds", 128))
+
+    mesh = make_mesh() if args.data_parallel else None
+    # init params from the first bucket batch
+    first = next(iter(bucketed_batches(items, spec, batch_size)))
+    params = model.init(jax.random.PRNGKey(args.seed), first[2])
+    params = model.load_tables(params, bias)
+    state = create_train_state(params, tx)
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+
+    start_epoch = 0
+    ckpt_dir = os.path.join(experiment_dir, f"checkpoints_{args.save_tag}")
+    if args.from_checkpoint and args.ckpt_path:
+        state, step = load_checkpoint(args.ckpt_path, state)
+        start_epoch = step // iters_per_epoch
+        logger.info(f"resumed from {args.ckpt_path} at step {step} "
+                    f"(epoch {start_epoch})")
+
+    step_fn = build_train_step(model, tx, mesh=mesh)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    it = int(state.step)
+    logger.info("start training...")
+    for epoch in range(start_epoch, total_epoch):
+        t0 = time.time()
+        epoch_losses = []
+        for key, rows, props, gts in bucketed_batches(
+                items, spec, batch_size, shuffle=True, seed=epoch):
+            if mesh is not None:
+                props = shard_batch(props, mesh)
+                gts = shard_batch(gts, mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, props, gts, sub)
+            it += 1
+            loss = float(metrics["total"])
+            epoch_losses.append(loss)
+            if it % 10 == 0:
+                writer.add_scalar("loss/total", loss, it)
+                for k in ("cls_pos", "cls_neg", "adj", "grad_norm"):
+                    writer.add_scalar(f"loss/{k}", float(metrics[k]), it)
+                logger.info(
+                    f"epoch {epoch} it {it} loss {loss:.4f} "
+                    f"lr {float(sched(it)):.2e} "
+                    + " ".join(f"{k}={float(metrics[k]):.4f}"
+                               for k in ("cls_pos", "cls_neg", "adj")))
+        writer.add_scalar("loss/epoch_mean", float(np.mean(epoch_losses)),
+                          epoch)
+        logger.info(f"epoch {epoch} done in {time.time()-t0:.1f}s, "
+                    f"mean loss {np.mean(epoch_losses):.4f}")
+        if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
+            save_checkpoint(ckpt_dir, jax.device_get(state), it)
+            logger.info(f"checkpoint saved at {ckpt_dir} (step {it})")
+    writer.close()
+    return state
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_path", type=str, required=True)
+    parser.add_argument("--use_pku", action="store_true")
+    parser.add_argument("--fmt", type=str, default="mega")
+    parser.add_argument("--save_tag", type=str, default="")
+    parser.add_argument("--from_checkpoint", action="store_true")
+    parser.add_argument("--ckpt_path", type=str, default=None)
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--ckpt_every", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--data_parallel", action="store_true")
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--synthetic_root", type=str, default=None)
+    train(parser.parse_args())

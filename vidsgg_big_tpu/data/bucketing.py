@@ -1,0 +1,81 @@
+"""Shape bucketing: group videos into a small set of compiled shapes.
+
+Every (N_traj, T_frames) bucket maps to one XLA executable; videos are padded
+up to their bucket.  This replaces the reference's per-video variable-shape
+eager execution (reference models/model_0v10.py:513) — the single biggest
+TPU-first design change (SURVEY.md §7.1).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+from .types import (VideoProposalRecord, VideoGTRecord, pack_proposal,
+                    pack_gt, stack_batches)
+
+DEFAULT_N_LADDER = (8, 16, 32, 64, 128, 192)
+DEFAULT_T_LADDER = (32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def pick(value: int, ladder: Sequence[int]) -> int:
+    for x in ladder:
+        if value <= x:
+            return x
+    return ladder[-1]
+
+
+@dataclasses.dataclass
+class BucketSpec:
+    n_ladder: Sequence[int] = DEFAULT_N_LADDER
+    t_ladder: Sequence[int] = DEFAULT_T_LADDER
+    g_bucket: int = 32            # GT trajectories
+    p_bucket: int = 128           # GT predicates
+    feat_dim: int = 0
+
+    def bucket_of(self, prop: VideoProposalRecord) -> Tuple[int, int]:
+        n = pick(max(prop.num_proposals, 1), self.n_ladder)
+        t = pick(max(prop.max_frames, 1), self.t_ladder)
+        return n, t
+
+
+def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
+                     with_gt: bool = True, shuffle: bool = False, seed: int = 0,
+                     drop_last: bool = False):
+    """Yield (bucket_key, [records], TrackletBatch, GraphBatch|None).
+
+    items: iterable of (VideoProposalRecord, VideoGTRecord|None).  Videos are
+    grouped per bucket; each group is flushed when it reaches ``batch_size``
+    (padded batches are never mixed across buckets).
+    """
+    items = list(items)
+    if shuffle:
+        rng = np.random.default_rng(seed)
+        rng.shuffle(items)
+    groups = {}
+    order: List = []
+    for rec in items:
+        prop = rec[0]
+        key = spec.bucket_of(prop)
+        groups.setdefault(key, []).append(rec)
+        if len(groups[key]) == batch_size:
+            order.append((key, groups.pop(key)))
+    if not drop_last:
+        # flush remainders, padding the batch by repeating the last video so
+        # the compiled batch size stays fixed
+        for key, rows in groups.items():
+            while len(rows) % batch_size != 0:
+                rows.append(rows[-1])
+            for i in range(0, len(rows), batch_size):
+                order.append((key, rows[i:i + batch_size]))
+
+    for key, rows in order:
+        n, t = key
+        props = stack_batches([
+            pack_proposal(r[0], n, t, spec.feat_dim) for r in rows])
+        gts = None
+        if with_gt:
+            gts = stack_batches([
+                pack_gt(r[1], spec.g_bucket, t, spec.p_bucket) for r in rows])
+        yield key, rows, props, gts

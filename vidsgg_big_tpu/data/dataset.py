@@ -1,0 +1,272 @@
+"""Dataset classes: VidVRD (mega / pku / pku+i3d) and VidOR (classeme).
+
+Capability-parity with the reference dataloaders (reference
+dataloaders/dataloader_vidvrd.py and dataloader_vidor_v3.py) with a
+TPU-friendly cache design: instead of one whole-split pickle (~126 GB for
+VidOR-train, reference README.md:74), each video is cached as its own
+compressed ``.npz`` so splits stream from disk with bounded memory.
+
+Config keys match the reference constructors one-to-one (configs are passed
+as ``**kwargs``, reference tools/train_vidvrd.py:98-102).
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..utils.categories import (
+    vidvrd_CatName2Id, vidvrd_PredName2Id, vidor_CatName2Id,
+    vidor_PredName2Id)
+from . import parse
+from .types import VideoProposalRecord, VideoGTRecord
+
+# videos excluded for GPU-memory reasons in the original training recipe
+# (reference dataloader_vidvrd.py:209-211); kept for behavior parity
+VIDVRD_OOM_VIDEOS = ("ILSVRC2015_train_00082000", "ILSVRC2015_train_00790000")
+# PKU released tracklets miss one file; the recipe substitutes its own
+# (reference dataloader_vidvrd.py:486-487)
+PKU_MISSING = {"ILSVRC2015_train_00884000":
+               "ILSVRC2015_train_00884000_myFaster18"}
+
+
+def _save_record(path, prop: VideoProposalRecord,
+                 gt: Optional[VideoGTRecord]):
+    arrs = {
+        "p_cat_ids": prop.cat_ids, "p_scores": prop.scores,
+        "p_durations": prop.durations,
+        "p_meta": np.asarray([prop.video_len, *prop.video_wh], np.int64),
+        "p_n": np.asarray(prop.num_proposals),
+    }
+    for i, (b, f) in enumerate(zip(prop.boxes, prop.features)):
+        arrs[f"p_box{i}"] = b
+        arrs[f"p_feat{i}"] = f
+    if gt is not None:
+        arrs.update({
+            "g_traj_cat_ids": gt.traj_cat_ids,
+            "g_traj_durations": gt.traj_durations,
+            "g_pred_cat_ids": gt.pred_cat_ids,
+            "g_pred_durations": gt.pred_durations,
+            "g_adj": gt.adj,
+            "g_n": np.asarray(gt.num_trajs),
+        })
+        for i, b in enumerate(gt.traj_boxes):
+            arrs[f"g_box{i}"] = b
+    np.savez_compressed(path, **arrs)
+
+
+def _load_record(path, video_name):
+    z = np.load(path)
+    n = int(z["p_n"])
+    meta = z["p_meta"]
+    prop = VideoProposalRecord(
+        video_name=video_name, video_len=int(meta[0]),
+        video_wh=(int(meta[1]), int(meta[2])),
+        cat_ids=z["p_cat_ids"], scores=z["p_scores"],
+        durations=z["p_durations"],
+        boxes=[z[f"p_box{i}"] for i in range(n)],
+        features=[z[f"p_feat{i}"] for i in range(n)])
+    gt = None
+    if "g_n" in z:
+        g = int(z["g_n"])
+        gt = VideoGTRecord(
+            video_name=video_name, video_len=int(meta[0]),
+            video_wh=(int(meta[1]), int(meta[2])),
+            traj_cat_ids=z["g_traj_cat_ids"],
+            traj_durations=z["g_traj_durations"],
+            traj_boxes=[z[f"g_box{i}"] for i in range(g)],
+            pred_cat_ids=z["g_pred_cat_ids"],
+            pred_durations=z["g_pred_durations"], adj=z["g_adj"])
+    return prop, gt
+
+
+class VidVRDDataset:
+    """VidVRD tracklet dataset.
+
+    fmt: "mega" (reference Dataset), "pku" (Dataset_pku), or "pku_i3d"
+    (Dataset_pku_i3d).  Constructor keys mirror the reference configs.
+    """
+
+    def __init__(self, split, ann_dir, proposal_dir, dim_boxfeature,
+                 min_frames_th, max_proposal, max_preds, cache_tag,
+                 fmt="mega", i3d_dir=None, dim_i3d=0,
+                 cache_dir="datasets/cache"):
+        self.split = ("train" if split.lower().startswith("train") else
+                      "test")
+        self.proposal_dir = proposal_dir
+        self.dim_boxfeature = dim_boxfeature
+        self.min_frames_th = min_frames_th
+        self.max_proposal = max_proposal
+        self.max_preds = max_preds
+        self.fmt = fmt
+        self.i3d_dir = i3d_dir
+        self.dim_i3d = dim_i3d
+        self.video_ann_dir = os.path.join(ann_dir, self.split)
+        self.cache_dir = os.path.join(
+            cache_dir,
+            f"{cache_tag}_VidVRD{self.split}_th_{min_frames_th}"
+            f"-{max_proposal}-{max_preds}")
+        os.makedirs(self.cache_dir, exist_ok=True)
+        self.video_name_list = sorted(
+            v.split(".")[0] for v in os.listdir(self.video_ann_dir))
+
+    def __len__(self):
+        return len(self.video_name_list)
+
+    def _cache_path(self, video_name):
+        return os.path.join(self.cache_dir, video_name + ".npz")
+
+    def get_data(self, video_name):
+        cache = self._cache_path(video_name)
+        if os.path.exists(cache):
+            return _load_record(cache, video_name)
+        prop_name = video_name
+        if self.fmt in ("pku", "pku_i3d"):
+            prop_name = PKU_MISSING.get(video_name, video_name)
+        track_res = np.load(
+            os.path.join(self.proposal_dir, prop_name + ".npy"),
+            allow_pickle=True)
+        if self.fmt == "mega":
+            parsed = parse.parse_tracklets_mega(
+                track_res, self.dim_boxfeature, self.min_frames_th)
+        elif self.fmt == "pku":
+            parsed = parse.parse_tracklets_pku(
+                track_res, self.dim_boxfeature, self.min_frames_th)
+        elif self.fmt == "pku_i3d":
+            i3d = np.load(os.path.join(self.i3d_dir, prop_name + ".npy"))
+            parsed = parse.parse_tracklets_pku(
+                track_res, self.dim_boxfeature, self.min_frames_th,
+                i3d_features=i3d, dim_i3d=self.dim_i3d,
+                zero_i3d=prop_name.endswith("_myFaster18"))
+        else:
+            raise ValueError(self.fmt)
+
+        with open(os.path.join(self.video_ann_dir,
+                               video_name + ".json")) as f:
+            anno = json.load(f)
+        gt = parse.parse_gt_annotation(
+            video_name, anno, vidvrd_CatName2Id, vidvrd_PredName2Id,
+            max_preds=self.max_preds, truncate=self.split == "train")
+        prop = parse.build_proposal_record(
+            video_name, parsed, self.max_proposal,
+            video_len=gt.video_len, video_wh=gt.video_wh)
+        _save_record(cache, prop, gt)
+        return prop, gt
+
+    def __getitem__(self, idx):
+        video_name = self.video_name_list[idx]
+        if self.split == "train" and video_name in VIDVRD_OOM_VIDEOS:
+            return self[random.randint(0, len(self) - 1)]
+        prop, gt = self.get_data(video_name)
+        if self.split == "train" and prop.num_proposals == 0:
+            return self[random.randint(0, len(self) - 1)]
+        return prop, gt
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+class VidORDataset:
+    """VidOR dataset with classeme features and optional I3D clip features.
+
+    Mirrors reference dataloader_vidor_v3.Dataset (constructor keys match).
+    """
+
+    def __init__(self, split, ann_dir, proposal_dir, classeme_dir,
+                 max_proposal, max_preds, score_th, dim_boxfeature,
+                 min_frames_th, cache_tag, video_dir=None,
+                 video_feature_dir=None, cache_dir="datasets/cache"):
+        s = split.lower()
+        self.split = ("train" if s.startswith("train") else
+                      "val" if s.startswith("val") else "test")
+        if isinstance(proposal_dir, str):
+            proposal_dir = {0: proposal_dir}
+        self.proposal_dir = proposal_dir
+        self.classeme_dir = classeme_dir
+        self.max_proposal = max_proposal
+        self.max_preds = max_preds
+        self.score_th = score_th
+        self.dim_boxfeature = dim_boxfeature
+        self.min_frames_th = min_frames_th
+        self.video_feature_dir = video_feature_dir
+        self.use_video_features = video_feature_dir is not None
+        sub = {"train": "training", "val": "validation",
+               "test": None}[self.split]
+        self.video_ann_dir = (os.path.join(ann_dir, sub) if sub else None)
+        self.cache_dir = os.path.join(
+            cache_dir,
+            f"{cache_tag}_VidOR{self.split}_th_{min_frames_th}"
+            f"-{max_proposal}-{max_preds}-{score_th:.2f}")
+        os.makedirs(self.cache_dir, exist_ok=True)
+        self.video_name_list, self.video_name_list_all = \
+            self._prepare_video_names()
+
+    def _prepare_video_names(self):
+        names_all = []
+        for group in sorted(os.listdir(self.video_ann_dir)):
+            for v in sorted(os.listdir(
+                    os.path.join(self.video_ann_dir, group))):
+                names_all.append(group + "_" + v.split(".")[0])
+        if self.split != "train":
+            return names_all, names_all
+        names = []
+        for k in self.proposal_dir:
+            names += names_all[k * 500:(k + 1) * 500]
+        return names, names_all
+
+    def _track_res_path(self, video_name):
+        if self.split == "train":
+            index = self.video_name_list_all.index(video_name)
+            return os.path.join(self.proposal_dir[index // 500],
+                                video_name + ".npy")
+        (d,) = self.proposal_dir.values()
+        return os.path.join(d, video_name + ".npy")
+
+    def __len__(self):
+        return len(self.video_name_list)
+
+    def get_data(self, video_name):
+        cache = os.path.join(self.cache_dir, video_name + ".npz")
+        if os.path.exists(cache):
+            return _load_record(cache, video_name)
+        track_res = np.load(self._track_res_path(video_name),
+                            allow_pickle=True)
+        classeme = np.load(os.path.join(self.classeme_dir,
+                                        video_name + "_clsme.npy"))
+        parsed = parse.parse_tracklets_vidor(
+            track_res, classeme, self.dim_boxfeature, self.min_frames_th)
+        group, vid = video_name.split("_")
+        with open(os.path.join(self.video_ann_dir, group,
+                               vid + ".json")) as f:
+            anno = json.load(f)
+        gt = parse.parse_gt_annotation(
+            video_name, anno, vidor_CatName2Id, vidor_PredName2Id,
+            max_preds=self.max_preds, truncate=self.split == "train")
+        prop = parse.build_proposal_record(
+            video_name, parsed, self.max_proposal, score_th=self.score_th,
+            video_len=gt.video_len, video_wh=gt.video_wh)
+        _save_record(cache, prop, gt)
+        return prop, gt
+
+    def load_video_feature(self, video_name):
+        return np.load(os.path.join(self.video_feature_dir,
+                                    video_name + ".npy"))
+
+    def __getitem__(self, idx):
+        video_name = self.video_name_list[idx]
+        prop, gt = self.get_data(video_name)
+        if self.split == "train" and (
+                prop.num_proposals == 0 or gt.num_trajs == 0
+                or gt.num_preds == 0 or gt.video_len > 2700):
+            return self[random.randint(0, len(self) - 1)]
+        if self.use_video_features:
+            return self.load_video_feature(video_name), prop, gt
+        return prop, gt
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]

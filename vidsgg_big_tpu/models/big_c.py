@@ -182,6 +182,11 @@ class BigC(nn.Module):
         """Returns dict with pred_queries (B,Q,Dp), pred_logits (B,Q,C),
         att (B,2,Q,N), enti_feat (B,N,E)."""
         cfg = self.cfg
+        expect = cfg.dim_feat + (cfg.dim_i3d or 0) + (
+            cfg.dim_clsme if cfg.clsme_in_feats else 0)
+        assert batch.feats.shape[-1] == expect, (
+            f"feature dim {batch.feats.shape[-1]} != dim_feat"
+            f"+dim_i3d/clsme = {expect}; check dataset fmt vs model config")
         enti2enco, extra = TrackletEncoder(
             cfg.dim_enti, cfg.dim_feat, cfg.enco_pool_len,
             kernel_init=self.kinit, name="tracklet_encoder")(batch)

@@ -104,24 +104,28 @@ def lap_jv(cost):
 
 
 def _assign_single(cost, n_gt):
-    """cost: (Q, P); returns (P,) query index per gt, -1 past n_gt."""
+    """cost: (Q, P); returns (P,) query index per gt, -1 past n_gt.
+
+    Formulated as one always-feasible rectangular LAP: rows = (padded) gts,
+    columns = the Q real queries plus P virtual "unmatched" slots.  Valid gts
+    pay their real costs on queries and M (just above the max real cost) on
+    virtual slots; padding gts pay 0 on virtual slots and never compete for
+    queries.  This reproduces scipy's min(Q, n_gt)-pair semantics for both
+    n_gt <= Q and n_gt > Q and never builds an infeasible problem (an
+    infeasible instance makes the augmenting search loop forever — which
+    kills the TPU program).
+    """
     q, p = cost.shape
     gt_valid = jnp.arange(p) < n_gt
-    if p <= q:
-        # rows = gts; pad invalid gts with constant-0 rows (they are
-        # indifferent, so valid rows keep their optimal columns)
-        ct = jnp.where(gt_valid[:, None], cost.T, 0.0)   # (P, Q)
-        query4gt = lap_jv(ct)                             # (P,)
-        return jnp.where(gt_valid, query4gt, -1).astype(jnp.int32)
-    # more (padded) gts than queries: rows = queries, match each query to a
-    # valid gt; gts beyond the query budget stay unmatched (-1)
-    cq = jnp.where(gt_valid[None, :], cost, _INF)
-    # guard fully-invalid case: give padding gts finite const cost
-    cq = jnp.where(jnp.any(gt_valid), cq, jnp.zeros_like(cost))
-    gt4query = lap_jv(cq)                                 # (Q,)
-    out = jnp.full((p,), -1, jnp.int32)
-    out = out.at[gt4query].set(jnp.arange(q, dtype=jnp.int32))
-    return jnp.where(gt_valid, out, -1)
+    maxc = jnp.max(jnp.where(gt_valid[None, :], cost, -_INF))
+    m = jnp.where(jnp.isfinite(maxc), jnp.abs(maxc), 0.0) + 1.0
+    real = jnp.where(gt_valid[:, None], cost.T, 2.0 * m)      # (P, Q)
+    virt = jnp.where(gt_valid[:, None], m,
+                     0.0) * jnp.ones((p, p))                  # (P, P)
+    big = jnp.concatenate([real, virt], axis=1)               # (P, Q+P)
+    col4row = lap_jv(big)                                     # (P,)
+    matched = (col4row < q) & gt_valid
+    return jnp.where(matched, col4row, -1).astype(jnp.int32)
 
 
 def hungarian(cost, n_gt):
