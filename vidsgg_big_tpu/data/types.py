@@ -122,11 +122,14 @@ class GraphBatch:
 
 def pack_proposal(rec: VideoProposalRecord, n_bucket: int, t_bucket: int,
                   feat_dim: int, dtype=np.float32) -> TrackletBatch:
-    """Pad one video's proposals into a fixed (N, T) bucket."""
+    """Pad one video's proposals into a fixed (N, T) bucket.
+
+    The ragged->padded copies and the stretch index run through the native
+    C++ packer when available (vidsgg_big_tpu/data/native.py)."""
+    from . import native
+
     n = rec.num_proposals
     assert n <= n_bucket, (n, n_bucket)
-    feats = np.zeros((n_bucket, t_bucket, feat_dim), dtype=dtype)
-    boxes = np.zeros((n_bucket, t_bucket, 4), dtype=np.float32)
     durations = np.zeros((n_bucket, 2), dtype=np.int32)
     cat_ids = np.zeros((n_bucket,), dtype=np.int32)
     scores = np.zeros((n_bucket,), dtype=np.float32)
@@ -134,16 +137,20 @@ def pack_proposal(rec: VideoProposalRecord, n_bucket: int, t_bucket: int,
     lengths = np.zeros((n_bucket,), dtype=np.int32)
     for i in range(n):
         L = min(rec.boxes[i].shape[0], t_bucket)
-        feats[i, :L] = rec.features[i][:L]
-        boxes[i, :L] = rec.boxes[i][:L]
         lengths[i] = L
         durations[i] = rec.durations[i]
         # clamp duration if the trajectory was truncated by the bucket
         durations[i, 1] = durations[i, 0] + L - 1
+    feats = native.pad_pack(
+        [np.asarray(f[:t_bucket], np.float32) for f in rec.features],
+        n_bucket, t_bucket)
+    boxes = native.pad_pack(
+        [np.asarray(b[:t_bucket, :4], np.float32) for b in rec.boxes],
+        n_bucket, t_bucket)
     cat_ids[:n] = rec.cat_ids
     scores[:n] = rec.scores
     mask[:n] = True
-    stretch_idx = stretch_index_np(lengths, t_bucket)
+    stretch_idx = native.stretch_index(lengths, t_bucket)
     return TrackletBatch(
         feats=jnp.asarray(feats), boxes=jnp.asarray(boxes),
         stretch_idx=jnp.asarray(stretch_idx), durations=jnp.asarray(durations),
