@@ -21,7 +21,7 @@ import numpy as np
 N_BUCKET, T_BUCKET = 50, 256
 DIM_FEAT, DIM_I3D = 2048, 832
 BATCH = 8
-N_TIMED = 5           # timed iterations (of BATCH videos each)
+N_TIMED = 20          # timed iterations (of BATCH videos each)
 N_REF_VIDEOS = 3      # torch-CPU reference videos to time
 
 
@@ -46,7 +46,8 @@ def bench_ours(recs):
         num_pred_cats=133, num_enti_cats=36, dim_feat=DIM_FEAT,
         dim_clsme=300, dim_enti=512, dim_pred=512, dim_att=512, dim_ffn=512,
         dim_i3d=DIM_I3D, enco_pool_len=4, n_enco_layers=2, n_deco_layers=6,
-        n_att_head=8, num_querys=192)
+        n_att_head=8, num_querys=192,
+        compute_dtype="bfloat16")   # heavy per-frame matmuls on the MXU in bf16
     model = BigC(cfg, enti_name_emb=np.zeros((36, 300), np.float32))
 
     batch = stack_batches([
@@ -56,12 +57,16 @@ def bench_ours(recs):
     infer = build_infer_step(model, topk=10)
 
     # NOTE: on the axon TPU backend jax.block_until_ready does NOT wait for
-    # execution; force a host fetch of a result leaf to measure true latency.
+    # execution, and a host fetch costs a ~25 ms tunnel round trip.  Dispatch
+    # the timed iterations asynchronously and fetch only the final result —
+    # the device stream is FIFO, so the last fetch bounds all executions and
+    # the round trip is amortized across the loop.
     float(np.asarray(infer(params, batch).scores).sum())      # compile+warm
     t0 = time.perf_counter()
+    out = None
     for _ in range(N_TIMED):
         out = infer(params, batch)
-        float(np.asarray(out.scores).sum())
+    float(np.asarray(out.scores).sum())
     dt = time.perf_counter() - t0
     return BATCH * N_TIMED / dt
 

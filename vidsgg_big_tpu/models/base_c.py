@@ -90,7 +90,10 @@ class BaseC(nn.Module):
                 sub_clsme = emb[so_cats[:, 0]]
                 obj_clsme = emb[so_cats[:, 1]]
             else:
-                clsme_avg = extra.mean(axis=-2)                 # (B, N, 300)
+                from ..ops.segments import stretch_weighted_mean
+                lengths = (batch.durations[..., 1]
+                           - batch.durations[..., 0] + 1)
+                clsme_avg = stretch_weighted_mean(extra, lengths)
                 sub_clsme = clsme_avg[:, pair_ids[:, 0]]
                 obj_clsme = clsme_avg[:, pair_ids[:, 1]]
             parts += [sub_clsme, obj_clsme]

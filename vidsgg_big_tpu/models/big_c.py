@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..data.types import TrackletBatch
-from ..ops.segments import stretch_lookup, adaptive_max_pool1d
+from ..ops.segments import (stretch_lookup, adaptive_max_pool1d,
+                            stretch_weighted_mean)
 from .layers import (
     MLP, TransformerEncoderLayer, RoleAttnDecoderLayer, sine_pos_embedding,
     xavier_normal, xavier_uniform,
@@ -62,6 +63,9 @@ class BigCConfig:
     cost_coeff_adj: float = 30.0
     loss_coeff_cls: float = 1.0
     loss_coeff_adj: float = 30.0
+    # compute dtype of the heavy per-frame encoder matmuls (params stay
+    # float32; activations cast, accumulation in float32 by XLA default)
+    compute_dtype: str = "float32"
 
     @property
     def clsme_in_feats(self) -> bool:
@@ -128,37 +132,43 @@ class TrackletEncoder(nn.Module):
     geometry + RoI MLPs -> stride-2 temporal conv -> adaptive max pool ->
     flatten -> MLP (reference model_0v10.py:289-309, 446-458).  Returns
     (enti2enco (B, N, E), extra (B, N, T, D_extra) stretched aux channels).
+
+    ``compute_dtype`` lowers the per-frame matmuls (the FLOPs bulk of the
+    whole model) to bfloat16 on the MXU; outputs are cast back to float32
+    before the pooled node embedding.
     """
     dim_enti: int
     dim_feat: int
     enco_pool_len: int
     kernel_init: callable = xavier_normal
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, batch: TrackletBatch):
+        # The repeat-stretch gather commutes with the per-frame MLPs (both are
+        # rowwise), so we run the heavy matmuls on the *raw* frames and only
+        # stretch their dim_enti-wide outputs — ~6x less gather traffic than
+        # stretching the 2048+ wide inputs, with bit-identical results.
         geo = geometry_features(batch)                        # (B, N, T, 8)
-        geo = stretch_lookup(
-            geo.reshape((-1,) + geo.shape[-2:]),
-            batch.stretch_idx.reshape((-1,) + batch.stretch_idx.shape[-1:]),
-        ).reshape(geo.shape)
-        feats = stretch_lookup(
-            batch.feats.reshape((-1,) + batch.feats.shape[-2:]),
-            batch.stretch_idx.reshape((-1,) + batch.stretch_idx.shape[-1:]),
-        ).reshape(batch.feats.shape)                          # (B, N, T, D)
+        visual = batch.feats[..., :self.dim_feat]
+        extra = batch.feats[..., self.dim_feat:]              # i3d or classeme
 
-        visual = feats[..., :self.dim_feat]
-        extra = feats[..., self.dim_feat:]                    # i3d or classeme
-
+        cdt = jnp.dtype(self.compute_dtype)
         x_geo = MLP((self.dim_enti, self.dim_enti), kernel_init=self.kernel_init,
-                    name="fc_bbox2enti")(geo)
+                    name="fc_bbox2enti")(geo.astype(cdt))
         x_vis = MLP((self.dim_enti, self.dim_enti), kernel_init=self.kernel_init,
-                    name="fc_feat2enti")(visual)
+                    name="fc_feat2enti")(visual.astype(cdt))
         x = jnp.concatenate([x_geo, x_vis], axis=-1)          # (B, N, T, 2E)
 
         bsz, n, t, _ = x.shape
+        idx = batch.stretch_idx.reshape(bsz * n, t)
+        x = stretch_lookup(x.reshape(bsz * n, t, -1), idx)
+
         x = nn.Conv(self.dim_enti, kernel_size=(3,), strides=(2,),
                     padding=[(1, 1)], kernel_init=self.kernel_init,
-                    name="conv_feat2enti")(x.reshape(bsz * n, t, -1))
+                    dtype=cdt,
+                    name="conv_feat2enti")(x)
+        x = x.astype(jnp.float32)
         x = adaptive_max_pool1d(x, self.enco_pool_len, axis=-2)
         x = x.reshape(bsz, n, self.enco_pool_len * self.dim_enti)
         enti2enco = MLP((self.dim_enti, self.dim_enti),
@@ -189,7 +199,8 @@ class BigC(nn.Module):
             f"+dim_i3d/clsme = {expect}; check dataset fmt vs model config")
         enti2enco, extra = TrackletEncoder(
             cfg.dim_enti, cfg.dim_feat, cfg.enco_pool_len,
-            kernel_init=self.kinit, name="tracklet_encoder")(batch)
+            kernel_init=self.kinit, compute_dtype=cfg.compute_dtype,
+            name="tracklet_encoder")(batch)
         bsz, n = enti2enco.shape[:2]
 
         out = enti2enco
@@ -223,11 +234,12 @@ class BigC(nn.Module):
                     pred_queries, pos_emb, enco_output, batch.traj_mask,
                     deterministic=deterministic)
 
-        # time-averaged auxiliary per-tracklet features for the head
-        if cfg.dim_i3d:
-            extra_avg = extra.mean(axis=-2)                  # (B, N, dim_i3d)
-        elif cfg.clsme_in_feats:
-            extra_avg = extra.mean(axis=-2)                  # (B, N, dim_clsme)
+        # time-averaged auxiliary per-tracklet features for the head; the
+        # reference averages over the *stretched* axis (model_0v10.py:470) —
+        # equivalent to a repeat-counts-weighted mean over raw frames
+        if cfg.dim_i3d or cfg.clsme_in_feats:
+            lengths = batch.durations[..., 1] - batch.durations[..., 0] + 1
+            extra_avg = stretch_weighted_mean(extra, lengths)  # (B, N, D_x)
         else:
             extra_avg = None
 

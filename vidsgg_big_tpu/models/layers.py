@@ -25,15 +25,20 @@ def sine_pos_embedding(length: int, d_model: int) -> np.ndarray:
 
 
 class MLP(nn.Module):
-    """Linear->ReLU stacks used throughout (fc_feat2enti etc.)."""
+    """Linear->ReLU stacks used throughout (fc_feat2enti etc.).
+
+    When the input arrives in a low-precision dtype the matmuls run in that
+    dtype on the MXU (params stay float32)."""
     features: tuple
     final_relu: bool = True
     kernel_init: callable = xavier_normal
 
     @nn.compact
     def __call__(self, x):
+        dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float16) else None
         for k, f in enumerate(self.features):
-            x = nn.Dense(f, kernel_init=self.kernel_init, name=f"dense{k}")(x)
+            x = nn.Dense(f, kernel_init=self.kernel_init, dtype=dtype,
+                         name=f"dense{k}")(x)
             if k < len(self.features) - 1 or self.final_relu:
                 x = nn.relu(x)
         return x

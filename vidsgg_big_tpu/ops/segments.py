@@ -134,3 +134,28 @@ def unique_max(keys, scores, valid):
     head = head & (ks[:, 0] != big)
     keep = jnp.zeros_like(valid).at[order].set(head)
     return keep
+
+
+def stretch_counts(lengths, t: int):
+    """Repeat counts of each source row under the stretch gather.
+
+    counts[n, l] = #{k : stretch_index(lengths, t)[n, k] == l}; rows sum to t
+    for lengths >= 1.  Lets a mean over the *stretched* axis be computed as a
+    counts-weighted mean over the raw axis without materializing the gather.
+    """
+    lengths = jnp.asarray(lengths)
+    L = jnp.maximum(lengths, 1)[..., None]                # (..., 1)
+    j = jnp.arange(t)
+    counts = jnp.where(j < L, -(-(t - j) // L), 0)        # (..., T)
+    counts = jnp.where(L >= t, (j < t).astype(counts.dtype), counts)
+    return counts
+
+
+def stretch_weighted_mean(x, lengths, t: int | None = None):
+    """Mean of ``stretch(x)`` over the time axis, computed without the gather.
+
+    x: (..., T, D); lengths: (...,).  Equals stretch_lookup(x, idx).mean(-2).
+    """
+    t = t if t is not None else x.shape[-2]
+    w = stretch_counts(lengths, t).astype(x.dtype) / t    # (..., T)
+    return jnp.einsum("...td,...t->...d", x, w)
