@@ -249,3 +249,24 @@ def test_hungarian_padded_gts_exceeding_queries():
         expect = np.full(p, -1, np.int32)
         expect[cols] = rows
         np.testing.assert_array_equal(out, expect)
+
+
+def test_pallas_role_attention_parity_interpret():
+    """Fused Pallas role-attention kernel vs the XLA formulation (interpret
+    mode on CPU; the TPU path is exercised by bench/drive scripts)."""
+    import jax
+    from vidsgg_big_tpu.ops.pallas_role_attn import (
+        role_attention, role_attention_reference)
+    rng = np.random.default_rng(20)
+    b, q, n, dh, de = 2, 16, 8, 32, 24
+    p = jnp.asarray(rng.normal(0, 0.3, (b, 2, q, dh)), jnp.float32)
+    e = jnp.asarray(rng.normal(0, 0.3, (b, 2, n, dh)), jnp.float32)
+    enco = jnp.asarray(rng.normal(0, 0.5, (b, n, de)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(b, n)) > 0.3)
+    att_r, val_r = role_attention_reference(p, e, enco, mask, dim_enti=de)
+    att_k, val_k = role_attention(p, e, enco, mask, dim_enti=de,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(att_k), np.asarray(att_r),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(val_k), np.asarray(val_r),
+                               rtol=1e-4, atol=1e-5)

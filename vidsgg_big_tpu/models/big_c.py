@@ -66,6 +66,9 @@ class BigCConfig:
     # compute dtype of the heavy per-frame encoder matmuls (params stay
     # float32; activations cast, accumulation in float32 by XLA default)
     compute_dtype: str = "float32"
+    # route decoder role attention through the fused Pallas kernel (TPU
+    # only; numerically equivalent — see ops/pallas_role_attn.py)
+    use_pallas_attention: bool = False
 
     @property
     def clsme_in_feats(self) -> bool:
@@ -230,6 +233,7 @@ class BigC(nn.Module):
             pred_queries, att = RoleAttnDecoderLayer(
                 cfg.dim_pred, cfg.n_att_head, cfg.dim_enti, cfg.dim_att,
                 cfg.dim_ffn, cfg.dropout, kernel_init=self.kinit,
+                use_pallas=cfg.use_pallas_attention,
                 name=f"decoder{i}")(
                     pred_queries, pos_emb, enco_output, batch.traj_mask,
                     deterministic=deterministic)

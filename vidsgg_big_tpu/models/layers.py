@@ -120,6 +120,8 @@ class RoleAttnDecoderLayer(nn.Module):
     dim_ffn: int
     dropout: float = 0.1
     kernel_init: callable = xavier_normal
+    use_pallas: bool = False   # fused Pallas kernel (TPU only); XLA's own
+    #                            fusion is on par at paper-scale shapes
 
     @nn.compact
     def __call__(self, pred_query, pos_emb, enco_output, traj_mask,
@@ -142,16 +144,11 @@ class RoleAttnDecoderLayer(nn.Module):
         # separate half-width projections; reference model_0v10.py:193-194)
         e = jnp.stack([enti2att[..., :half], enti2att[..., half:]], axis=1)
         p = jnp.stack([pred2att[..., :half], pred2att[..., half:]], axis=1)
-        att_logits = jnp.einsum("brqd,brnd->brqn", p, e) / np.sqrt(self.dim_enti)
-
-        neg = jnp.asarray(jnp.finfo(att_logits.dtype).min, att_logits.dtype)
-        masked = jnp.where(traj_mask[:, None, None, :], att_logits, neg)
-        att_enti = nn.softmax(masked, axis=-1)
-        att_enti = jnp.where(traj_mask[:, None, None, :], att_enti, 0.0)
-        att_role = nn.softmax(att_logits, axis=1)
-        att = att_enti * att_role                               # (B, 2, Q, N)
-
-        values = jnp.einsum("brqn,bnd->brqd", att, enco_output)
+        from ..ops.pallas_role_attn import (role_attention,
+                                            role_attention_reference)
+        fn = role_attention if self.use_pallas else role_attention_reference
+        att, values = fn(p, e, enco_output, traj_mask,
+                         dim_enti=self.dim_enti)
         role_q = 0.0
         for r in range(2):
             role_q = role_q + MLP(
