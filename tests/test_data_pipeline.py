@@ -223,3 +223,42 @@ def test_dataset_end_to_end_with_cache(tmp_path):
         assert props.feats.shape[0] == 2
         assert props.feats.shape[1] == key[0]
         assert props.feats.shape[2] == key[1]
+
+
+def test_prepare_bias_matrix_and_classeme():
+    from vidsgg_big_tpu.data import prepare
+    from vidsgg_big_tpu.data.synthetic import make_video
+    from vidsgg_big_tpu.utils import categories as cats
+    gts = [make_video(s, num_enti_cats=36, num_pred_cats=133)[1]
+           for s in range(3)]
+    trips = prepare.collect_triplet_names(
+        gts, cats.vidvrd_CatId2name, cats.vidvrd_PredId2name)
+    bias = prepare.build_bias_matrix(trips, cats.vidvrd_CatName2Id,
+                                     cats.vidvrd_PredName2Id)
+    assert bias.shape == (36, 36, 133)
+    # rows are log-probabilities of a normalized distribution (+1e-3 offset)
+    p = np.exp(bias) - 1e-3
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-4)
+    # unseen pairs put all mass on background
+    assert bias[0, 0, 0] > bias[0, 0, 1]
+
+    # classeme: one-hot logits recover the word embedding
+    emb = np.random.default_rng(0).normal(size=(35, 300)).astype(np.float32)
+    logits = np.full((4, 36), -20.0, np.float32)
+    for i in range(4):
+        logits[i, i + 1] = 20.0
+    cls = prepare.extract_classeme(logits, emb)
+    np.testing.assert_allclose(cls, emb[:4], rtol=1e-4, atol=1e-5)
+
+
+def test_name_embedding_rules():
+    from vidsgg_big_tpu.data import prepare
+    glove = {w: np.full(3, float(i)) for i, w in
+             enumerate(["ball", "sports", "play", "hold", "hand", "of"])}
+    e = prepare.name_embedding("ball/sports_ball", glove, dim=3)
+    np.testing.assert_allclose(e, (0 + (1 + 0) / 2) / 2)
+    e = prepare.name_embedding("play(instrument)", glove, dim=3)
+    np.testing.assert_allclose(e, 2.0)
+    e = prepare.name_embedding("hold_hand_of", glove, dim=3)
+    np.testing.assert_allclose(e, 4.0)
+    assert (prepare.name_embedding("__background__", glove, 3) == 0).all()

@@ -139,3 +139,65 @@ def test_traj_cutoff_contract():
     np.testing.assert_array_equal(out[0], traj[2])
     with pytest.raises(AssertionError):
         traj_cutoff(traj, (5, 15), (4, 12))
+
+
+def test_annotation_dataset_and_gt_generation(tmp_path):
+    import json as _json
+    from vidsgg_big_tpu.data.annotations import VidVRD, prepare_gts_for_eval
+    from vidsgg_big_tpu.data.synthetic import make_video
+    from vidsgg_big_tpu.data.synthetic_raw import _annotation_from_gt
+    ann = tmp_path / "test"
+    ann.mkdir()
+    names = []
+    for s in range(3):
+        _, gt = make_video(s, num_enti_cats=36, num_pred_cats=133)
+        a = _annotation_from_gt(gt)
+        a["video_id"] = gt.video_name
+        names.append(gt.video_name)
+        with open(ann / f"{gt.video_name}.json", "w") as f:
+            _json.dump(a, f)
+    ds = VidVRD(str(tmp_path), splits=["test"])
+    assert ds.get_index("test") == sorted(names)
+    assert ds.get_object_num() > 0 and ds.get_predicate_num() > 0
+    insts = ds.get_relation_insts(names[0])
+    assert all(len(i["sub_traj"]) == i["duration"][1] - i["duration"][0]
+               for i in insts)
+    gts = prepare_gts_for_eval(ds, "test", str(tmp_path / "gts.json"))
+    assert set(gts) == set(names)
+    # the generated GT evaluates perfectly against itself
+    preds = {v: [dict(r, score=0.9, sub_traj=[list(b) for b in r["sub_traj"]],
+                      obj_traj=[list(b) for b in r["obj_traj"]])
+                 for r in rels] for v, rels in gts.items()}
+    mAP, _, _ = evaluate(gts, preds)
+    assert mAP == pytest.approx(1.0)
+
+
+def test_zero_shot_eval():
+    from vidsgg_big_tpu.evaluation.zero_shot import evaluate_zero_shot
+    rng = np.random.default_rng(11)
+    names = ["dog", "person", "ride", "car"]
+    gt = {"v0": _random_relations(rng, 6, 80, names, with_score=False)}
+    pred = {"v0": _noisy_copy(rng, gt["v0"], jitter=0.5)}
+    all_triplets = {tuple(r["triplet"]) for r in gt["v0"]}
+    seen = set(list(all_triplets)[:len(all_triplets) // 2])
+    mAP, rec, prec = evaluate_zero_shot(gt, pred, seen)
+    assert 0.0 <= mAP <= 1.0
+    # with every triplet seen at train time there is nothing to evaluate
+    mAP0, _, _ = evaluate_zero_shot(gt, pred, all_triplets)
+    assert mAP0 == 0.0
+
+
+def test_action_detection_eval():
+    from vidsgg_big_tpu.evaluation.action_detection import eval_action
+    rng = np.random.default_rng(12)
+    def traj(L):
+        xy = rng.uniform(0, 100, size=(L, 2))
+        return np.concatenate([xy, xy + 50], -1).tolist()
+    gt = {"v0": [{"category": "run", "duration": (0, 10),
+                  "trajectory": traj(10)}]}
+    pred = {"v0": [{"category": "run", "duration": (0, 10),
+                    "trajectory": gt["v0"][0]["trajectory"], "score": 0.9}]}
+    mAP, ap = eval_action(gt, pred)
+    assert mAP == pytest.approx(1.0)
+    mAP2, _ = eval_action(gt, {"v0": []})
+    assert mAP2 == 0.0
