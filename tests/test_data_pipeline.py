@@ -262,3 +262,26 @@ def test_name_embedding_rules():
     e = prepare.name_embedding("hold_hand_of", glove, dim=3)
     np.testing.assert_allclose(e, 4.0)
     assert (prepare.name_embedding("__background__", glove, 3) == 0).all()
+
+
+def test_merge_gt_into_proposals():
+    from vidsgg_big_tpu.data.dataset import merge_gt_into_proposals
+    prop, gt = make_video(30, feat_dim=8)
+    gt_feats = [np.random.default_rng(0).normal(
+        size=(b.shape[0], 8)).astype(np.float32) for b in gt.traj_boxes]
+    merged = merge_gt_into_proposals(prop, gt, gt_feats, max_proposal=50)
+    assert merged.num_proposals == prop.num_proposals + gt.num_trajs
+    # GT trajectories carry score 1.0 -> sorted first
+    assert merged.scores[:gt.num_trajs] == pytest.approx(1.0)
+
+
+def test_visualizer_renders(tmp_path):
+    from vidsgg_big_tpu.utils.visualize import render_video_annotations
+    _, gt = make_video(31)
+    insts = [{"tid": i, "category": "obj",
+              "trajectory": {int(gt.traj_durations[i][0]) + k: b.tolist()
+                             for k, b in enumerate(gt.traj_boxes[i])}}
+             for i in range(gt.num_trajs)]
+    frames = render_video_annotations(10, insts)
+    assert len(frames) == 10
+    assert any((f != 255).any() for f in frames)   # something was drawn

@@ -278,3 +278,33 @@ class VidORDataset:
     def __iter__(self):
         for i in range(len(self)):
             yield self[i]
+
+
+def merge_gt_into_proposals(prop: VideoProposalRecord, gt, gt_features,
+                            max_proposal: int, score_th=None, gt_score=1.0):
+    """Mix GT trajectories into the proposal set (the training-era VidOR
+    loader's ``merge_trajs``, reference dataloaders/dataloader_vidor.py:695-719).
+
+    gt_features: list of per-frame feature arrays aligned with gt.traj_boxes
+    (e.g. detector features extracted on the GT boxes).
+    """
+    from .parse import build_proposal_record
+
+    cat_ids = list(prop.cat_ids) + list(gt.traj_cat_ids)
+    boxes, feats, durations = [], [], []
+    for b, f, d, s in zip(prop.boxes, prop.features, prop.durations,
+                          prop.scores):
+        boxes.append(np.concatenate(
+            [b, np.full((b.shape[0], 1), s, np.float32)], axis=1))
+        feats.append(f)
+        durations.append((int(d[0]), int(d[1]) + 1))
+    for i in range(gt.num_trajs):
+        b = np.asarray(gt.traj_boxes[i], np.float32)
+        boxes.append(np.concatenate(
+            [b, np.full((b.shape[0], 1), gt_score, np.float32)], axis=1))
+        feats.append(np.asarray(gt_features[i], np.float32))
+        d = gt.traj_durations[i]
+        durations.append((int(d[0]), int(d[1]) + 1))
+    return build_proposal_record(
+        prop.video_name, (cat_ids, boxes, feats, durations), max_proposal,
+        score_th=score_th, video_len=prop.video_len, video_wh=prop.video_wh)

@@ -59,8 +59,12 @@ def make_video(seed: int, *, video_len: int = 120, n_gt_trajs: int = 5,
         inter_e = min(traj_durs[si, 1], traj_durs[oi, 1])
         if inter_e - inter_s < 4:
             continue
-        ps = int(rng.integers(inter_s, inter_e - 2))
-        pe = int(rng.integers(ps + 2, inter_e + 1))
+        # real VidVRD/VidOR relations span most of the subject∩object
+        # overlap; trim at most ~15% from each side so a stage-1 prediction
+        # (whose temporal extent IS the overlap) can reach vIoU >= 0.5
+        span = inter_e - inter_s
+        ps = inter_s + int(rng.integers(0, max(span // 7, 1)))
+        pe = inter_e - int(rng.integers(0, max(span // 7, 1)))
         pred_cats.append(int(rng.integers(1, num_pred_cats)))
         pred_durs.append((ps, pe))
         srow = np.zeros(n_gt_trajs, np.float32); srow[si] = 1
