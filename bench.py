@@ -139,8 +139,16 @@ def bench_reference(recs):
 
 
 def main():
+    import os
     recs = make_records(max(BATCH, N_REF_VIDEOS))
-    ours = bench_ours(recs)
+    trace_dir = os.environ.get("VIDSGG_PROFILE_DIR")
+    if trace_dir:
+        import jax
+        with jax.profiler.trace(trace_dir):
+            ours = bench_ours(recs)
+        print(f"profiler trace written to {trace_dir}", file=sys.stderr)
+    else:
+        ours = bench_ours(recs)
     try:
         ref = bench_reference(recs)
     except Exception as e:

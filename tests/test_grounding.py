@@ -168,3 +168,33 @@ def test_grounding_decode_shapes_and_fallback():
     # all pooled spans clamped into the subj∩obj window or equal to it
     p = np.asarray(pooled)
     assert (p[..., 0] >= 0.2 - 1e-6).all() and (p[..., 1] <= 0.8 + 1e-6).all()
+
+
+def test_grounding_self_eval_matches_reference(ref_debug_cls):
+    import torch
+    rng = np.random.default_rng(13)
+    u, k1, p = 3, 5, 7
+    spans = np.stack([rng.uniform(0, 0.5, (u, k1)),
+                      rng.uniform(0.5, 1.0, (u, k1))], -1).astype(np.float32)
+    mask = rng.uniform(size=(u, k1)) > 0.3
+    mask[:, 0] = True
+    groups = [np.array([0, 1]), np.array([2, 3, 4]), np.array([5, 6])]
+    tgt = np.stack([rng.uniform(0, 0.5, p),
+                    rng.uniform(0.5, 1.0, p)], -1).astype(np.float32)
+
+    from vidsgg_big_tpu.evaluation.grounding_eval import (
+        grounding_tiou, grounding_f1)
+    ours_t = grounding_tiou(spans, mask, tgt, groups)
+    dummy = types.SimpleNamespace(num_bins=k1)
+    ref_t = ref_debug_cls.eval_tiou(
+        dummy, torch.tensor(spans), torch.tensor(mask), torch.tensor(tgt),
+        [torch.tensor(g) for g in groups]).numpy()
+    np.testing.assert_allclose(np.sort(ours_t), np.sort(ref_t), rtol=1e-5)
+
+    ours_f = grounding_f1(spans, mask, tgt, groups, tiou_ths=(0.5,))
+    ref_r, ref_p, ref_f = ref_debug_cls.eval_f1score(
+        dummy, torch.tensor(spans), torch.tensor(mask), torch.tensor(tgt),
+        [torch.tensor(g) for g in groups], tiou_ths=[0.5])
+    np.testing.assert_allclose(ours_f[0.5]["recall"], ref_r[0.5], rtol=1e-6)
+    np.testing.assert_allclose(ours_f[0.5]["precision"], ref_p[0.5],
+                               rtol=1e-6)
