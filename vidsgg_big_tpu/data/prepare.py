@@ -91,3 +91,11 @@ def extract_classeme(logits: np.ndarray, word_emb: np.ndarray) -> np.ndarray:
     p = np.exp(x)
     p /= p.sum(-1, keepdims=True)
     return (p @ word_emb.astype(np.float64)).astype(np.float32)
+
+
+def extract_logits(roi_features: np.ndarray, fc_weight: np.ndarray,
+                   fc_bias: np.ndarray) -> np.ndarray:
+    """Re-apply a detector's final classification layer to stored RoI
+    features (reference tools_draft/extract_logits.py:7-80: the MEGA
+    checkpoint's cls_score FC lifted onto per-box features)."""
+    return (roi_features @ fc_weight.T + fc_bias).astype(np.float32)
