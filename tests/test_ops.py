@@ -270,3 +270,34 @@ def test_pallas_role_attention_parity_interpret():
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(val_k), np.asarray(val_r),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_viou_matrix_grid_matches_gather_version():
+    from vidsgg_big_tpu.ops.boxes import viou_matrix_grid
+    rng = np.random.default_rng(21)
+    n, m, t1, t2 = 8, 5, 40, 40
+
+    def mk(k, t, hi=200):
+        durs, boxes = [], []
+        for _ in range(k):
+            s = int(rng.integers(0, hi))
+            L = int(rng.integers(3, t))
+            durs.append((s, s + L - 1))
+            b = np.sort(rng.uniform(0, 300, size=(L, 2, 2)), axis=1)
+            out = np.zeros((t, 4), np.float32)
+            out[:L] = b.transpose(0, 2, 1).reshape(L, 4)
+            boxes.append(out)
+        return np.asarray(durs, np.int64), np.stack(boxes)
+
+    d1, b1 = mk(n, t1)
+    d2, b2 = mk(m, t2)
+    v1 = np.ones(n, bool); v1[-1] = False
+    v2 = np.ones(m, bool); v2[-1] = False
+    ref = np.asarray(viou_matrix(jnp.asarray(b1), jnp.asarray(d1),
+                                 jnp.asarray(b2), jnp.asarray(d2),
+                                 jnp.asarray(v1), jnp.asarray(v2)))
+    got = np.asarray(viou_matrix_grid(jnp.asarray(b1), jnp.asarray(d1),
+                                      jnp.asarray(b2), jnp.asarray(d2),
+                                      jnp.asarray(v1), jnp.asarray(v2),
+                                      t_abs=512))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

