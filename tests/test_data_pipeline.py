@@ -285,3 +285,16 @@ def test_visualizer_renders(tmp_path):
     frames = render_video_annotations(10, insts)
     assert len(frames) == 10
     assert any((f != 255).any() for f in frames)   # something was drawn
+
+
+def test_prefetch_preserves_order_and_propagates_errors():
+    from vidsgg_big_tpu.data.prefetch import prefetch
+    assert list(prefetch(range(10), device_put=False)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+    it = prefetch(boom(), device_put=False)
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)

@@ -13,6 +13,7 @@ from common import make_dataset, load_tables
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger, MetricWriter
 from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
+from vidsgg_big_tpu.data.prefetch import prefetch
 from vidsgg_big_tpu.models import BigC, BigCConfig
 from vidsgg_big_tpu.models.base_c import BaseC, BaseCConfig, basec_train_loss
 from vidsgg_big_tpu.models.grounding import GroundingConfig, GroundingModel
@@ -100,8 +101,8 @@ def train_baseline(args):
     it = 0
     for epoch in range(total_epoch):
         losses = []
-        for key, rows, props, gts in bucketed_batches(
-                items, spec, batch_size, shuffle=True, seed=epoch):
+        for key, rows, props, gts in prefetch(bucketed_batches(
+                items, spec, batch_size, shuffle=True, seed=epoch)):
             rng, sub = jax.random.split(rng)
             state, metrics = step(state, props, gts, sub)
             it += 1
@@ -229,8 +230,8 @@ def _generic_train(args, logger, writer, experiment_dir, model, bias,
     for epoch in range(total_epoch):
         t0 = time.time()
         losses = []
-        for key, rows, props, gts in bucketed_batches(
-                items, spec, batch_size, shuffle=True, seed=epoch):
+        for key, rows, props, gts in prefetch(bucketed_batches(
+                items, spec, batch_size, shuffle=True, seed=epoch)):
             if mesh is not None:
                 props = shard_batch(props, mesh)
                 gts = shard_batch(gts, mesh)

@@ -15,6 +15,7 @@ from common import make_dataset, load_tables
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger, MetricWriter
 from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
+from vidsgg_big_tpu.data.prefetch import prefetch
 from vidsgg_big_tpu.models import BigC, BigCConfig
 from vidsgg_big_tpu.parallel.mesh import make_mesh, shard_batch, replicated
 from vidsgg_big_tpu.train.train_state import (
@@ -83,8 +84,8 @@ def train(args):
     for epoch in range(start_epoch, total_epoch):
         t0 = time.time()
         epoch_losses = []
-        for key, rows, props, gts in bucketed_batches(
-                items, spec, batch_size, shuffle=True, seed=epoch):
+        for key, rows, props, gts in prefetch(bucketed_batches(
+                items, spec, batch_size, shuffle=True, seed=epoch)):
             if mesh is not None:
                 props = shard_batch(props, mesh)
                 gts = shard_batch(gts, mesh)
