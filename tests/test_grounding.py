@@ -198,3 +198,33 @@ def test_grounding_self_eval_matches_reference(ref_debug_cls):
     np.testing.assert_allclose(ours_f[0.5]["recall"], ref_r[0.5], rtol=1e-6)
     np.testing.assert_allclose(ours_f[0.5]["precision"], ref_p[0.5],
                                rtol=1e-6)
+
+
+def test_grounding_clip_padding_invariance():
+    """Same video in a wider clip bucket must give identical head outputs on
+    the valid clips (attention/sim-softmax masking correctness)."""
+    model = GroundingModel(CFG)
+    rng = np.random.default_rng(21)
+    n_clips, q = 12, 5
+    feats_raw = rng.normal(size=(1, n_clips, CFG.dim_feat)).astype(np.float32)
+    qc = rng.integers(1, 8, size=(1, q, 3)).astype(np.int32)
+    temp = rng.uniform(0, 1, size=(1, q, 2)).astype(np.float32)
+    qm = np.ones((1, q), bool)
+
+    outs = []
+    for t in (16, 32):
+        feats = np.zeros((1, t, CFG.dim_feat), np.float32)
+        feats[:, :n_clips] = feats_raw
+        cm = (np.arange(t) < n_clips)[None]
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                            jnp.asarray(cm), jnp.asarray(qc),
+                            jnp.asarray(temp), jnp.asarray(qm))
+        regrs, conf, cls = model.apply(params, jnp.asarray(feats),
+                                       jnp.asarray(cm), jnp.asarray(qc),
+                                       jnp.asarray(temp), jnp.asarray(qm))
+        outs.append((np.asarray(conf)[:, :, :n_clips],
+                     np.asarray(cls)[:, :, :n_clips]))
+    # NOTE: conv kernels at the valid/padding boundary see zero padding in
+    # both buckets (zero-padded features), so valid-clip outputs must agree
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=2e-4, atol=2e-5)

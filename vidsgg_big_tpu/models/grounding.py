@@ -107,19 +107,25 @@ class QANetEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
         b, t, d = x.shape
-        out = x + _sine_pos(t, d)[None]
+        # Padded positions are re-zeroed after every sublayer (positional
+        # encoding, conv residuals, norms, attention, fc) so that the valid
+        # positions' receptive fields see a fixed zero boundary — outputs are
+        # then invariant to the clip-bucket size.  At t == n_clips this is a
+        # no-op, matching the unpadded reference exactly.
+        z = (lambda o: jnp.where(mask[:, :, None], o, 0.0)) if mask is not             None else (lambda o: o)
+        out = z(x + _sine_pos(t, d)[None])
         res = out
-        out = nn.LayerNorm(name="normb")(out)
+        out = z(nn.LayerNorm(name="normb")(out))
         for i in range(self.num_conv):
             out = DepthwiseSeparableConv(d, self.kernel_size,
                                          name=f"conv{i}")(out)
             out = nn.relu(out)
-            out = out + res
+            out = z(out + res)
             if (i + 1) % 2 == 0:
                 p = self.dropout * (i + 1) / self.num_conv
                 out = nn.Dropout(p)(out, deterministic=deterministic)
             res = out
-            out = nn.LayerNorm(name=f"norm{i}")(out)
+            out = z(nn.LayerNorm(name=f"norm{i}")(out))
 
         # self-attention over time
         h = 8
@@ -139,28 +145,31 @@ class QANetEncoderLayer(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
         out = nn.DenseGeneral(d, axis=(-2, -1), kernel_init=torch_linear,
                               name="attn_out")(out)
-        out = out + res
+        out = z(out + res)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         res = out
-        out = nn.LayerNorm(name="norme")(out)
+        out = z(nn.LayerNorm(name="norme")(out))
         out = nn.Dense(d, kernel_init=torch_linear, name="fc")(out)
         out = nn.relu(out)
-        out = out + res
+        out = z(out + res)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
 
 
 class ConvHead(nn.Module):
-    """4x (dw-sep conv + relu) + final dw-sep conv (reference :182-193)."""
+    """4x (dw-sep conv + relu) + final dw-sep conv (reference :182-193).
+
+    Padded positions are re-zeroed between convs (see QANetEncoderLayer)."""
     d_model: int
     out_channels: int
     sigmoid: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        z = (lambda o: jnp.where(mask[:, :, None], o, 0.0)) if mask is not             None else (lambda o: o)
         for i in range(4):
-            x = nn.relu(DepthwiseSeparableConv(self.d_model, 3,
-                                               name=f"conv{i}")(x))
+            x = z(nn.relu(DepthwiseSeparableConv(self.d_model, 3,
+                                                 name=f"conv{i}")(x)))
         x = DepthwiseSeparableConv(self.out_channels, 3, name="out")(x)
         return nn.sigmoid(x) if self.sigmoid else x
 
@@ -244,10 +253,13 @@ class GroundingModel(nn.Module):
             ).reshape(b, q, t, cfg.dim_hidden)
 
         flat = combined.reshape(b * q, t, cfg.dim_hidden)
+        flat_mask = jnp.repeat(clip_mask, q, axis=0)
         regrs = ConvHead(cfg.dim_hidden, 2 * cfg.num_bins, sigmoid=True,
-                         name="regr_head")(flat)
-        conf = ConvHead(cfg.dim_hidden, cfg.num_bins, name="conf_head")(flat)
-        cls = ConvHead(cfg.dim_hidden, cfg.num_bins, name="cls_head")(flat)
+                         name="regr_head")(flat, mask=flat_mask)
+        conf = ConvHead(cfg.dim_hidden, cfg.num_bins,
+                        name="conf_head")(flat, mask=flat_mask)
+        cls = ConvHead(cfg.dim_hidden, cfg.num_bins,
+                       name="cls_head")(flat, mask=flat_mask)
         k = cfg.num_bins
         regrs = regrs.reshape(b, q, t, 2, k)
         return regrs, conf.reshape(b, q, t, k), cls.reshape(b, q, t, k)
