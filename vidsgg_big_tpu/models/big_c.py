@@ -26,8 +26,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..data.types import TrackletBatch
-from ..ops.segments import (stretch_lookup, adaptive_max_pool1d,
-                            stretch_weighted_mean)
+from ..ops.segments import (stretch_lookup, stretch_lookup_matmul,
+                            adaptive_max_pool1d, stretch_weighted_mean)
 from .layers import (
     MLP, TransformerEncoderLayer, RoleAttnDecoderLayer, sine_pos_embedding,
     xavier_normal, xavier_uniform,
@@ -165,7 +165,11 @@ class TrackletEncoder(nn.Module):
 
         bsz, n, t, _ = x.shape
         idx = batch.stretch_idx.reshape(bsz * n, t)
-        x = stretch_lookup(x.reshape(bsz * n, t, -1), idx)
+        # low-precision path: one-hot matmul gather (exact row selection,
+        # ~2x faster on the MXU than the general gather at this width)
+        lookup = (stretch_lookup_matmul if x.dtype in (jnp.bfloat16,)
+                  else stretch_lookup)
+        x = lookup(x.reshape(bsz * n, t, -1), idx)
 
         x = nn.Conv(self.dim_enti, kernel_size=(3,), strides=(2,),
                     padding=[(1, 1)], kernel_init=self.kernel_init,
