@@ -50,8 +50,10 @@ def bench_ours(recs):
         compute_dtype="bfloat16")   # heavy per-frame matmuls on the MXU in bf16
     model = BigC(cfg, enti_name_emb=np.zeros((36, 300), np.float32))
 
+    import ml_dtypes
     batch = stack_batches([
-        pack_proposal(r, N_BUCKET, T_BUCKET, DIM_FEAT + DIM_I3D)
+        pack_proposal(r, N_BUCKET, T_BUCKET, DIM_FEAT + DIM_I3D,
+                      dtype=ml_dtypes.bfloat16)   # bf16 feature storage
         for r in recs[:BATCH]])
     params = model.init(jax.random.PRNGKey(0), batch)
     infer = build_infer_step(model, topk=10)

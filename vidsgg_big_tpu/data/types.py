@@ -144,6 +144,10 @@ def pack_proposal(rec: VideoProposalRecord, n_bucket: int, t_bucket: int,
     feats = native.pad_pack(
         [np.asarray(f[:t_bucket], np.float32) for f in rec.features],
         n_bucket, t_bucket)
+    if np.dtype(dtype) != np.float32:
+        # e.g. bfloat16 feature storage: halves H2D and HBM traffic for the
+        # low-precision compute path
+        feats = feats.astype(dtype)
     boxes = native.pad_pack(
         [np.asarray(b[:t_bucket, :4], np.float32) for b in rec.boxes],
         n_bucket, t_bucket)
