@@ -103,6 +103,7 @@ class QANetEncoderLayer(nn.Module):
     num_conv: int
     kernel_size: int
     dropout: float = 0.1
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
@@ -112,7 +113,8 @@ class QANetEncoderLayer(nn.Module):
         # positions' receptive fields see a fixed zero boundary — outputs are
         # then invariant to the clip-bucket size.  At t == n_clips this is a
         # no-op, matching the unpadded reference exactly.
-        z = (lambda o: jnp.where(mask[:, :, None], o, 0.0)) if mask is not             None else (lambda o: o)
+        z = ((lambda o: jnp.where(mask[:, :, None], o, 0.0))
+             if mask is not None else (lambda o: o))
         out = z(x + _sine_pos(t, d)[None])
         res = out
         out = z(nn.LayerNorm(name="normb")(out))
@@ -134,15 +136,34 @@ class QANetEncoderLayer(nn.Module):
                                            kernel_init=xavier_u, name=nm)
         qh, kh, vh = dense("attn_q")(out), dense("attn_k")(out), \
             dense("attn_v")(out)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(hd)
-        if mask is not None:
-            neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
-            logits = jnp.where(mask[:, None, None, :], logits, neg)
-        attn = nn.softmax(logits, axis=-1)
-        if mask is not None:
-            attn = jnp.where(mask[:, None, None, :], attn, 0.0)
-        attn = nn.Dropout(0.1)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+        # Long clip sequences: the (B, h, T, T) attention tensor is the
+        # grounding stage's memory/time bound.  The Pallas flash-attention
+        # kernel is available as an opt-in (self.use_flash) — measured slower
+        # than XLA at this model's head_dim=16 on paper-scale shapes, so off
+        # by default; padding is expressed as segment ids and attention
+        # dropout is skipped inside the fused kernel (inference uses none).
+        use_flash = (self.use_flash and t % 128 == 0 and t >= 256
+                     and deterministic and jax.default_backend() != "cpu")
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention, SegmentIds)
+            seg = (mask.astype(jnp.int32) if mask is not None
+                   else jnp.ones((b, t), jnp.int32))
+            o = flash_attention(
+                qh.swapaxes(1, 2), kh.swapaxes(1, 2), vh.swapaxes(1, 2),
+                segment_ids=SegmentIds(seg, seg),
+                sm_scale=1.0 / float(np.sqrt(hd)))
+            out = o.swapaxes(1, 2)                           # (B, T, h, hd)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(hd)
+            if mask is not None:
+                neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+                logits = jnp.where(mask[:, None, None, :], logits, neg)
+            attn = nn.softmax(logits, axis=-1)
+            if mask is not None:
+                attn = jnp.where(mask[:, None, None, :], attn, 0.0)
+            attn = nn.Dropout(0.1)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
         out = nn.DenseGeneral(d, axis=(-2, -1), kernel_init=torch_linear,
                               name="attn_out")(out)
         out = z(out + res)
@@ -166,7 +187,8 @@ class ConvHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        z = (lambda o: jnp.where(mask[:, :, None], o, 0.0)) if mask is not             None else (lambda o: o)
+        z = ((lambda o: jnp.where(mask[:, :, None], o, 0.0))
+             if mask is not None else (lambda o: o))
         for i in range(4):
             x = z(nn.relu(DepthwiseSeparableConv(self.d_model, 3,
                                                  name=f"conv{i}")(x)))
@@ -235,10 +257,14 @@ class GroundingModel(nn.Module):
         sim_masked = jnp.where(clip_mask[:, None, :, None], sim, neg)
         sim_c = nn.softmax(sim_masked, axis=-2)                # over clips
         sim_c = jnp.where(clip_mask[:, None, :, None], sim_c, 0.0)
-        sim_rc = jnp.einsum("bqtl,bqsl->bqts", sim_r, sim_c)   # (B, Q, T, T)
 
         mat_a = jnp.einsum("bqtl,bqlh->bqth", sim_r, query)    # (B, Q, T, H)
-        mat_b = jnp.einsum("bqts,bsh->bqth", sim_rc, video)    # (B, Q, T, H)
+        # the reference materializes sim_rc = sim_r @ sim_c^T (a (Q, T, T)
+        # tensor, reference grd_model_v5.py:353) before multiplying by the
+        # video; matmul associativity gives the identical result through the
+        # tiny (Q, L, H) contraction instead — O(T^2) memory/compute -> O(T)
+        cv = jnp.einsum("bqsl,bsh->bqlh", sim_c, video)        # (B, Q, L, H)
+        mat_b = jnp.einsum("bqtl,bqlh->bqth", sim_r, cv)       # (B, Q, T, H)
         vexp = video[:, None]                                  # (B, 1, T, H)
         combined = jnp.concatenate(
             [jnp.broadcast_to(vexp, mat_a.shape), mat_a, mat_a * vexp,
