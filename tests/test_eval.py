@@ -4,8 +4,7 @@ import sys
 import numpy as np
 import pytest
 
-from vidsgg_big_tpu.evaluation.metrics import (
-    viou, voc_ap, evaluate, eval_detection_scores)
+from vidsgg_big_tpu.evaluation.metrics import viou, voc_ap, evaluate
 from vidsgg_big_tpu.evaluation.convert import EvalFmtCvtor, traj_cutoff
 from vidsgg_big_tpu.data.synthetic import make_video
 

@@ -1,5 +1,4 @@
 import numpy as np
-import pytest
 
 from vidsgg_big_tpu.data import native
 from vidsgg_big_tpu.ops.segments import stretch_index_np

@@ -19,7 +19,7 @@ from vidsgg_big_tpu.models.base_c import BaseC, BaseCConfig, basec_train_loss
 from vidsgg_big_tpu.models.grounding import GroundingConfig, GroundingModel
 from vidsgg_big_tpu.parallel.mesh import make_mesh, shard_batch, replicated
 from vidsgg_big_tpu.train.train_state import (
-    make_optimizer, create_train_state, save_checkpoint, load_checkpoint)
+    make_optimizer, create_train_state, save_checkpoint)
 from vidsgg_big_tpu.train.steps import build_train_step
 from vidsgg_big_tpu.train.grounding_steps import build_grounding_train_step
 from vidsgg_big_tpu.data.types import pack_gt, stack_batches

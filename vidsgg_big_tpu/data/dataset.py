@@ -14,7 +14,7 @@ from __future__ import annotations
 import json
 import os
 import random
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

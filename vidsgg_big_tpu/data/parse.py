@@ -19,7 +19,7 @@ GT annotation JSONs share one schema across VidVRD/VidOR
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

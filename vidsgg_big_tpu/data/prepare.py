@@ -8,7 +8,7 @@ extract_classeme.py:11-42, stat_triplet_bias.py).
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, Iterable, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

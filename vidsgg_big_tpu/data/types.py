@@ -24,7 +24,6 @@ import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
-from ..ops.segments import stretch_index_np
 
 
 # ---------------------------------------------------------------------------

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.temporal import tiou, generalized_tiou, tiou_left_right
+from ..ops.temporal import tiou, tiou_left_right
 
 kaiming = nn.initializers.he_normal()
 # torch.nn.Linear default init: U(+-1/sqrt(fan_in)) — the reference leaves all

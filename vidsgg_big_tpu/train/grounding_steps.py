@@ -4,7 +4,6 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 
 from ..models.grounding import (
     GroundingModel, grounding_gt_labels, grounding_loss, grounding_decode)
