@@ -54,3 +54,22 @@ def reference_utils():
     finally:
         sys.path.remove(ref_root)
     return ref_utils
+
+
+@pytest.fixture(scope="session")
+def reference_bigc(reference_utils):
+    """Reference BIG_C classes (v10 + v7) as whole-model numerical oracles.
+
+    Same provenance rules as :func:`reference_utils`: public untrusted content,
+    imported read-only, used only to cross-check numerics.
+    """
+    ref_root = "/root/reference"
+    sys.path.insert(0, ref_root)
+    try:
+        from models.model_0v10 import BIG_C as bigc_v10  # noqa
+        from models.model_0v7 import BIG_C as bigc_v7  # noqa
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"cannot import reference models: {e}")
+    finally:
+        sys.path.remove(ref_root)
+    return {"v10": bigc_v10, "v7": bigc_v7}

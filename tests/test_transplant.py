@@ -1,0 +1,220 @@
+"""Whole-model parity vs the torch reference via weight transplant.
+
+A randomly-initialized reference ``BIG_C`` (torch) is converted to flax
+parameters with :mod:`vidsgg_big_tpu.models.transplant`; on shared random
+videos the two implementations must agree on logits, soft adjacency, the
+constructed triplet set, and the training loss (reference
+models/model_0v10.py:369-388,434-507,642-785 and models/model_0v7.py).
+
+The stretch target: the reference repeat-stretches every trajectory to the
+video's own max_frames; exact parity therefore uses a T bucket equal to that
+(one proposal is pinned to the full video length).
+"""
+import numpy as np
+import pytest
+
+from vidsgg_big_tpu.data.synthetic import make_video
+from vidsgg_big_tpu.data.types import pack_proposal, pack_gt, stack_batches
+from vidsgg_big_tpu.models import BigC, BigCConfig, construct_triplets
+from vidsgg_big_tpu.models.transplant import bigc_params_from_torch
+from vidsgg_big_tpu.train.losses import bigc_train_loss
+
+NUM_ENTI, NUM_PRED = 9, 11
+T = 64                      # video length == stretch target on both sides
+N_BUCKET = 12
+DIM_CLSME = 16
+BASE = dict(num_pred_cats=NUM_PRED, num_enti_cats=NUM_ENTI,
+            dim_clsme=DIM_CLSME, dim_enti=32, dim_pred=32, dim_att=32,
+            dim_ffn=48, enco_pool_len=4, n_enco_layers=2, n_deco_layers=2,
+            n_att_head=4, num_querys=12)
+
+CASES = [
+    ("v10", dict(dim_feat=40, dim_i3d=8)),
+    ("v10", dict(dim_feat=40, dim_i3d=None)),
+    ("v7", dict(dim_feat=40, use_clsme=True, use_name_emb=True)),
+    ("v7", dict(dim_feat=40, use_clsme=True, use_name_emb=False)),
+    ("v7", dict(dim_feat=40, use_clsme=False, use_name_emb=False)),
+]
+
+
+def _flax_cfg(variant, dim_feat, dim_i3d=None, use_clsme=True,
+              use_name_emb=True):
+    return BigCConfig(dim_feat=dim_feat, dim_i3d=dim_i3d, variant=variant,
+                      use_clsme=use_clsme, use_name_emb=use_name_emb, **BASE)
+
+
+def _feat_total(cfg: BigCConfig) -> int:
+    return cfg.dim_feat + (cfg.dim_i3d or 0) + (
+        DIM_CLSME if cfg.clsme_in_feats else 0)
+
+
+def _videos(feat_dim, seeds=(3, 4)):
+    rng = np.random.default_rng(77)
+    out = []
+    for s in seeds:
+        p, g = make_video(s, video_len=T, feat_dim=feat_dim, n_gt_trajs=4,
+                          n_preds=5, num_enti_cats=NUM_ENTI,
+                          num_pred_cats=NUM_PRED)
+        # pin proposal 0 to the full video so the reference's per-video
+        # stretch target (its max_frames) equals our T bucket exactly
+        lo = rng.uniform(0, 300, (T, 2)).astype(np.float32)
+        sz = rng.uniform(10, 120, (T, 2)).astype(np.float32)
+        p.boxes[0] = np.concatenate([lo, lo + sz], axis=1)
+        p.features[0] = rng.normal(size=(T, feat_dim)).astype(np.float32)
+        p.durations[0] = (0, T - 1)
+        out.append((p, g))
+    return out
+
+
+def _torch_model(reference_bigc, tmp_path, variant, dim_feat, dim_i3d=None,
+                 use_clsme=True, use_name_emb=True, seed=0):
+    import torch
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed + 1)
+    bias = rng.normal(0, 0.5, (NUM_ENTI, NUM_ENTI, NUM_PRED)).astype(
+        np.float32)
+    emb = rng.normal(0, 1, (NUM_ENTI, DIM_CLSME)).astype(np.float32)
+    bias_path = tmp_path / f"bias_{variant}_{seed}.npy"
+    emb_path = tmp_path / f"emb_{variant}_{seed}.npy"
+    np.save(bias_path, bias)
+    np.save(emb_path, emb)
+    cfgd = dict(BASE, dim_feat=dim_feat, neg_weight=0.1, positive_vIoU_th=0.5,
+                cost_coeff_dict=dict(classification=1.0, adj_matrix=30.0),
+                loss_coeff_dict=dict(classification=1.0, adj_matrix=30.0),
+                bias_matrix_path=str(bias_path))
+    if variant == "v10":
+        cfgd["EntiNameEmb_path"] = str(emb_path)
+        if dim_i3d:
+            cfgd["dim_i3d"] = dim_i3d
+    else:
+        cfgd["use_clsme"] = use_clsme
+        cfgd["EntiNameEmb_path"] = (
+            str(emb_path) if (use_clsme and use_name_emb) else None)
+    model = reference_bigc[variant](cfgd, is_train=True)
+    model.eval()
+    return model
+
+
+def _duck_proposal(rec):
+    import torch
+
+    class P:
+        pass
+
+    p = P()
+    p.video_name, p.video_len = rec.video_name, rec.video_len
+    p.video_wh = rec.video_wh
+    p.num_proposals = rec.num_proposals
+    p.cat_ids = torch.tensor(np.asarray(rec.cat_ids), dtype=torch.long)
+    p.scores = torch.tensor(np.asarray(rec.scores))
+    p.traj_durations = torch.tensor(np.asarray(rec.durations),
+                                    dtype=torch.long)
+    p.bboxes_list = [torch.tensor(b) for b in rec.boxes]
+    p.features_list = [torch.tensor(f) for f in rec.features]
+    return p
+
+
+def _duck_gt(g):
+    import torch
+
+    class G:
+        pass
+
+    r = G()
+    r.pred_cat_ids = torch.tensor(np.asarray(g.pred_cat_ids),
+                                  dtype=torch.long)
+    r.adj_matrix = torch.tensor(np.asarray(g.adj))
+    r.traj_bboxes = [torch.tensor(b) for b in g.traj_boxes]
+    # reference VideoGraph carries half-open GT traj durations and converts
+    # in-place inside enti_viou_align (model_0v10.py:568)
+    half_open = np.stack(
+        [g.traj_durations[:, 0], g.traj_durations[:, 1] + 1], axis=1)
+    r.traj_durations = torch.tensor(half_open, dtype=torch.long)
+    return r
+
+
+def _transplanted(reference_bigc, tmp_path, variant, kw):
+    tmodel = _torch_model(reference_bigc, tmp_path, variant, **kw)
+    cfg = _flax_cfg(variant, **kw)
+    variables, tables = bigc_params_from_torch(tmodel.state_dict(), cfg)
+    model = BigC(cfg, enti_name_emb=tables["enti_name_emb"],
+                 pos_emb_table=tables["pos_emb_table"])
+    vids = _videos(_feat_total(cfg))
+    batch = stack_batches(
+        [pack_proposal(p, N_BUCKET, T, _feat_total(cfg)) for p, _ in vids])
+    out = model.apply(variables, batch)
+    return tmodel, cfg, model, variables, vids, batch, out
+
+
+@pytest.mark.parametrize("variant,kw", CASES,
+                         ids=["v10_i3d", "v10", "v7_emb", "v7_clsme",
+                              "v7_noclsme"])
+def test_forward_parity(reference_bigc, tmp_path, variant, kw):
+    import torch
+    tmodel, cfg, model, variables, vids, batch, out = _transplanted(
+        reference_bigc, tmp_path, variant, kw)
+    for i, (p, _) in enumerate(vids):
+        with torch.no_grad():
+            _, logits_ref, att_ref = tmodel.encode2decode(_duck_proposal(p))
+        n = p.num_proposals
+        np.testing.assert_allclose(
+            np.asarray(out["pred_logits"][i]), logits_ref.numpy(),
+            rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(out["att"][i][:, :, :n]), att_ref.numpy(),
+            rtol=1e-3, atol=1e-5)
+        assert np.abs(np.asarray(out["att"][i][:, :, n:])).max() == 0
+
+
+def test_triplet_parity(reference_bigc, tmp_path):
+    """construct_triplet output sets match exactly (flagship v10 + i3d)."""
+    import torch
+    variant, kw = CASES[0]
+    tmodel, cfg, model, variables, vids, batch, out = _transplanted(
+        reference_bigc, tmp_path, variant, kw)
+    tmodel.topk = 3
+    for i, (p, _) in enumerate(vids):
+        with torch.no_grad():
+            _, logits_ref, att_ref = tmodel.encode2decode(_duck_proposal(p))
+            ret = tmodel.construct_triplet(
+                _duck_proposal(p), logits_ref, att_ref)
+        assert ret is not None
+        quint_r, scores_r, dura_r, qid_r = [x.numpy() for x in ret]
+        expect = {tuple(int(v) for v in quint_r[j]):
+                  (scores_r[j], dura_r[j], int(qid_r[j]))
+                  for j in range(quint_r.shape[0])}
+
+        trip = construct_triplets(
+            out["pred_logits"][i], out["att"][i], batch.durations[i],
+            batch.scores[i], batch.cat_ids[i], batch.traj_mask[i],
+            topk=3, num_enti_cats=NUM_ENTI, num_pred_cats=NUM_PRED)
+        got = {}
+        tq, ts = np.asarray(trip.quintuples), np.asarray(trip.scores)
+        td, tqid = np.asarray(trip.dura_inters), np.asarray(trip.query_ids)
+        for j in np.nonzero(np.asarray(trip.valid))[0]:
+            got[tuple(int(v) for v in tq[j])] = (ts[j], td[j], int(tqid[j]))
+
+        assert set(got) == set(expect)
+        for k, (sc, du, qi) in expect.items():
+            np.testing.assert_allclose(got[k][0], sc, rtol=1e-3, atol=1e-5)
+            np.testing.assert_array_equal(got[k][1], du)
+            assert got[k][2] == qi
+
+
+@pytest.mark.parametrize("variant,kw", [CASES[0], CASES[2]],
+                         ids=["v10_i3d", "v7_emb"])
+def test_train_loss_parity(reference_bigc, tmp_path, variant, kw):
+    """Whole train-step objective equality (matching + CE + weighted BCE)."""
+    import torch
+    tmodel, cfg, model, variables, vids, batch, out = _transplanted(
+        reference_bigc, tmp_path, variant, kw)
+    with torch.no_grad():
+        total_ref, ld_ref = tmodel([_duck_proposal(p) for p, _ in vids],
+                                   [_duck_gt(g) for _, g in vids])
+    gts = stack_batches(
+        [pack_gt(g, g_bucket=6, tg_bucket=T, p_bucket=8) for _, g in vids])
+    total, ld = bigc_train_loss(out, batch, gts, cfg)
+    np.testing.assert_allclose(float(total), float(total_ref), rtol=3e-4)
+    for k in ("cls_pos", "cls_neg", "adj"):
+        np.testing.assert_allclose(float(ld[k]), float(ld_ref[k]), rtol=3e-4,
+                                   err_msg=k)

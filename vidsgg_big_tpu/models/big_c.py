@@ -189,6 +189,13 @@ class BigC(nn.Module):
     cfg: BigCConfig
     # frozen (non-trainable) tables
     enti_name_emb: Optional[np.ndarray] = None   # (num_enti_cats, dim_clsme)
+    # v7 frozen query pos-embedding override.  Reference quirk: model_0v7
+    # builds a sine table but its _reset_parameters xavier-uniform-overwrites
+    # it (pos_embedding is missing from the skip list, model_0v7.py:345-358),
+    # so every trained v7 checkpoint carries a *random* frozen table — weight
+    # transplant must load it.  Fresh training defaults to the (intended)
+    # sine table.
+    pos_emb_table: Optional[np.ndarray] = None   # (num_querys, dim_pred)
 
     @property
     def kinit(self):
@@ -224,7 +231,8 @@ class BigC(nn.Module):
                             (cfg.num_querys, cfg.dim_pred))
         if cfg.variant == "v7":
             pos_emb = jnp.asarray(
-                sine_pos_embedding(cfg.num_querys, cfg.dim_pred))
+                self.pos_emb_table if self.pos_emb_table is not None
+                else sine_pos_embedding(cfg.num_querys, cfg.dim_pred))
         else:
             pos_emb = self.param("pos_embedding",
                                  nn.initializers.normal(0.1),

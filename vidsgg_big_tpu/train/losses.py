@@ -95,13 +95,14 @@ def bigc_losses(pred_logits, att, gts: GraphBatch, aligned_adj, traj_mask,
     matched = query4gt >= 0                                  # (B, P)
     qidx = jnp.clip(query4gt, 0)
 
-    # scatter gt cats onto their assigned queries
-    tgt = jnp.zeros((b, q), jnp.int32)
+    # scatter gt cats onto their assigned queries; unmatched/padding gts are
+    # routed to an overflow slot (index q) so they can never collide with a
+    # real match at query 0 (matched queries are distinct by construction)
+    qsafe = jnp.where(matched, query4gt, q)
     upd = jnp.where(matched, gts.pred_cats.astype(jnp.int32), 0)
-    tgt = jax.vmap(lambda t, qq, u: t.at[qq].set(u))(tgt, qidx, upd)
-    was_set = jax.vmap(
-        lambda qq, m: jnp.zeros((q,), bool).at[qq].set(m))(qidx, matched)
-    tgt = tgt * was_set
+    tgt = jax.vmap(
+        lambda qq, u: jnp.zeros((q + 1,), jnp.int32).at[qq].set(u))(
+            qsafe, upd)[:, :q]
 
     logp = jax.nn.log_softmax(pred_logits, axis=-1)
     ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]  # (B, Q)
