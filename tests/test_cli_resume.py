@@ -1,0 +1,66 @@
+"""Kill-and-resume through the train_vidor CLI path (reference
+tools/train_vidor.py:281-282 resumes in every mode; round-1 parsed the flags
+but never used them)."""
+import argparse
+import os
+import sys
+
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools")
+
+CONFIG = """
+model_config = dict(
+    num_enti_cats=81, num_pred_cats=51, dim_ffn=32, dim_enti=32, dim_pred=32,
+    dim_att=32, dim_feat=64, dim_clsme=300, enco_pool_len=4, n_enco_layers=1,
+    n_deco_layers=1, n_att_head=4, num_querys=8, neg_weight=0.1,
+    positive_vIoU_th=0.5, use_clsme=True, EntiNameEmb_path=None,
+    bias_matrix_path=None,
+    cost_coeff_dict=dict(classification=1.0, adj_matrix=30.0),
+    loss_coeff_dict=dict(classification=1.0, adj_matrix=30.0))
+train_dataset_config = dict(split="train")
+test_dataset_config = dict(split="val")
+train_config = dict(batch_size=2, total_epoch=2, initial_lr=1e-4,
+                    lr_decay=0.2, epoch_lr_milestones=[50])
+inference_config = dict(topk=3)
+"""
+
+
+def _args(cfg_path, root, **kw):
+    base = dict(cfg_path=cfg_path, save_tag="t", output_dir=None,
+                from_checkpoint=False, ckpt_path=None, epochs=None,
+                batch_size=None, ckpt_every=1, seed=0, data_parallel=False,
+                synthetic=4, synthetic_root=root, train_baseline=False,
+                train_grounding=False)
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+@pytest.fixture(scope="module")
+def tools_path():
+    sys.path.insert(0, TOOLS)
+    yield
+    sys.path.remove(TOOLS)
+
+
+def test_train_vidor_resume(tmp_path_factory, tools_path):
+    tmp = tmp_path_factory.mktemp("resume")
+    cfg_path = tmp / "config_.py"
+    cfg_path.write_text(CONFIG)
+    root = str(tmp / "synth")
+    import train_vidor
+
+    # 4 videos / batch 2 -> 2 iters per epoch; run 1 epoch, checkpoint saved
+    state1 = train_vidor.train_cls_stage(_args(str(cfg_path), root, epochs=1))
+    assert int(state1.step) == 2
+
+    # resume with no additional epochs: pure restore, step preserved
+    state2 = train_vidor.train_cls_stage(
+        _args(str(cfg_path), root, epochs=1, from_checkpoint=True))
+    assert int(state2.step) == 2
+
+    # resume and continue one more epoch from the saved step
+    state3 = train_vidor.train_cls_stage(
+        _args(str(cfg_path), root, epochs=2, from_checkpoint=True))
+    assert int(state3.step) == 4

@@ -19,10 +19,25 @@ from vidsgg_big_tpu.models.base_c import BaseC, BaseCConfig, basec_train_loss
 from vidsgg_big_tpu.models.grounding import GroundingConfig, GroundingModel
 from vidsgg_big_tpu.parallel.mesh import make_mesh, shard_batch, replicated
 from vidsgg_big_tpu.train.train_state import (
-    make_optimizer, create_train_state, save_checkpoint)
+    make_optimizer, create_train_state, save_checkpoint, load_checkpoint)
 from vidsgg_big_tpu.train.steps import build_train_step
 from vidsgg_big_tpu.train.grounding_steps import build_grounding_train_step
 from vidsgg_big_tpu.data.types import pack_gt, stack_batches
+
+
+def _maybe_resume(args, logger, state, default_ckpt_dir, iters_per_epoch):
+    """Resume from a checkpoint in any mode (reference resumes in all three:
+    tools/train_vidor.py:281-282,430-431,560-561).  Fast-forwards the epoch
+    counter like the reference; the LR schedule resumes via the restored
+    optimizer step."""
+    start_epoch = 0
+    if args.from_checkpoint:
+        path = args.ckpt_path or default_ckpt_dir
+        state, step = load_checkpoint(path, state)
+        start_epoch = step // iters_per_epoch
+        logger.info(f"resumed from {path} at step {step} "
+                    f"(epoch {start_epoch})")
+    return state, start_epoch
 
 
 def _setup(args, tag):
@@ -50,8 +65,8 @@ def train_cls_stage(args):
     enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
                                     cfg.num_pred_cats, cfg.dim_clsme)
     model = BigC(cfg, enti_name_emb=enti_emb)
-    _generic_train(args, logger, writer, experiment_dir, model, bias,
-                   train_config, items, model_config)
+    return _generic_train(args, logger, writer, experiment_dir, model, bias,
+                          train_config, items, model_config)
 
 
 def train_baseline(args):
@@ -87,6 +102,10 @@ def train_baseline(args):
             flat[k] = jax.numpy.asarray(bias)
     params = tu.unflatten_dict(flat)
     state = create_train_state(params, tx)
+    ckpt_dir = os.path.join(experiment_dir,
+                            f"checkpoints_base_{args.save_tag}")
+    state, start_epoch = _maybe_resume(args, logger, state, ckpt_dir,
+                                       iters_per_epoch)
 
     def step(state, props, gts, rng):
         def loss_fn(p):
@@ -98,8 +117,8 @@ def train_baseline(args):
 
     step = jax.jit(step, donate_argnums=(0,))
     rng = jax.random.PRNGKey(args.seed + 1)
-    it = 0
-    for epoch in range(total_epoch):
+    it = int(state.step)
+    for epoch in range(start_epoch, total_epoch):
         losses = []
         for key, rows, props, gts in prefetch(bucketed_batches(
                 items, spec, batch_size, shuffle=True, seed=epoch)):
@@ -111,11 +130,10 @@ def train_baseline(args):
                 writer.add_scalar("loss/total", losses[-1], it)
         logger.info(f"epoch {epoch} mean loss {np.mean(losses):.4f}")
         if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
-            ckpt = os.path.join(experiment_dir,
-                                f"checkpoints_base_{args.save_tag}")
-            save_checkpoint(ckpt, jax.device_get(state), it)
-            logger.info(f"checkpoint saved at {ckpt}")
+            save_checkpoint(ckpt_dir, jax.device_get(state), it)
+            logger.info(f"checkpoint saved at {ckpt_dir}")
     writer.close()
+    return state
 
 
 def train_grounding_stage(args):
@@ -180,10 +198,14 @@ def train_grounding_stage(args):
                         prep["query_cats"], prep["temporal"],
                         prep["query_mask"])
     state = create_train_state(params, tx)
+    ckpt_dir = os.path.join(experiment_dir,
+                            f"checkpoints_grd_{args.save_tag}")
+    state, start_epoch = _maybe_resume(args, logger, state, ckpt_dir,
+                                       iters_per_epoch)
     step = build_grounding_train_step(model, tx, donate=False)
     rng = jax.random.PRNGKey(args.seed + 1)
-    it = 0
-    for epoch in range(total_epoch):
+    it = int(state.step)
+    for epoch in range(start_epoch, total_epoch):
         losses = []
         order = np.random.default_rng(epoch).permutation(len(items))
         for s in range(0, len(items) - batch_size + 1, batch_size):
@@ -197,11 +219,10 @@ def train_grounding_stage(args):
                 writer.add_scalar("loss/total", losses[-1], it)
         logger.info(f"epoch {epoch} mean loss {np.mean(losses):.4f}")
         if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
-            ckpt = os.path.join(experiment_dir,
-                                f"checkpoints_grd_{args.save_tag}")
-            save_checkpoint(ckpt, jax.device_get(state), it)
-            logger.info(f"checkpoint saved at {ckpt}")
+            save_checkpoint(ckpt_dir, jax.device_get(state), it)
+            logger.info(f"checkpoint saved at {ckpt_dir}")
     writer.close()
+    return state
 
 
 def _generic_train(args, logger, writer, experiment_dir, model, bias,
@@ -222,12 +243,16 @@ def _generic_train(args, logger, writer, experiment_dir, model, bias,
     params = model.init(jax.random.PRNGKey(args.seed), first[2])
     params = model.load_tables(params, bias)
     state = create_train_state(params, tx)
+    ckpt_dir = os.path.join(experiment_dir,
+                            f"checkpoints_cls_{args.save_tag}")
+    state, start_epoch = _maybe_resume(args, logger, state, ckpt_dir,
+                                       iters_per_epoch)
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
     step_fn = build_train_step(model, tx, mesh=mesh)
     rng = jax.random.PRNGKey(args.seed + 1)
-    it = 0
-    for epoch in range(total_epoch):
+    it = int(state.step)
+    for epoch in range(start_epoch, total_epoch):
         t0 = time.time()
         losses = []
         for key, rows, props, gts in prefetch(bucketed_batches(
@@ -244,11 +269,10 @@ def _generic_train(args, logger, writer, experiment_dir, model, bias,
         logger.info(f"epoch {epoch} done in {time.time()-t0:.1f}s "
                     f"mean loss {np.mean(losses):.4f}")
         if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
-            ckpt = os.path.join(experiment_dir,
-                                f"checkpoints_cls_{args.save_tag}")
-            save_checkpoint(ckpt, jax.device_get(state), it)
-            logger.info(f"checkpoint saved at {ckpt}")
+            save_checkpoint(ckpt_dir, jax.device_get(state), it)
+            logger.info(f"checkpoint saved at {ckpt_dir}")
     writer.close()
+    return state
 
 
 if __name__ == "__main__":

@@ -71,10 +71,11 @@ def train(args):
 
     start_epoch = 0
     ckpt_dir = os.path.join(experiment_dir, f"checkpoints_{args.save_tag}")
-    if args.from_checkpoint and args.ckpt_path:
-        state, step = load_checkpoint(args.ckpt_path, state)
+    if args.from_checkpoint:
+        path = args.ckpt_path or ckpt_dir
+        state, step = load_checkpoint(path, state)
         start_epoch = step // iters_per_epoch
-        logger.info(f"resumed from {args.ckpt_path} at step {step} "
+        logger.info(f"resumed from {path} at step {step} "
                     f"(epoch {start_epoch})")
 
     step_fn = build_train_step(model, tx, mesh=mesh)
