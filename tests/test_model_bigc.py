@@ -110,6 +110,34 @@ def test_train_loss_and_grads(model_and_params):
     assert max(leaf_norms) > 0
 
 
+def test_remainder_padding_no_loss_effect(model_and_params):
+    """A bucket flushed with repeat-padding must produce the identical
+    gradient as the unpadded batch (repeats are masked out of the loss)."""
+    from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
+    model, params = model_and_params
+    vids = [make_video(s, video_len=80, feat_dim=FEAT, n_gt_trajs=4,
+                       n_preds=6, num_enti_cats=12, num_pred_cats=20)
+            for s in range(3)]
+    spec = BucketSpec(feat_dim=FEAT, n_ladder=(12,), t_ladder=(64,),
+                      g_bucket=6, p_bucket=8)
+
+    def grad_of(batch_size):
+        (key, rows, props, gts), = bucketed_batches(vids, spec, batch_size)
+        assert len(rows) == 3          # only real videos are reported
+
+        def loss_fn(p):
+            out = model.apply(p, props)
+            total, _ = bigc_train_loss(out, props, gts, CFG)
+            return total
+        return jax.grad(loss_fn)(params)
+
+    g3, g4 = grad_of(3), grad_of(4)    # exact batch vs one repeated video
+    for a, b in zip(jax.tree_util.tree_leaves(g3),
+                    jax.tree_util.tree_leaves(g4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_construct_triplets_matches_reference_logic():
     """Cross-check the fixed-shape dedup against a direct numpy replay of the
     reference post-processing semantics."""

@@ -60,22 +60,35 @@ def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
         key = spec.bucket_of(prop)
         groups.setdefault(key, []).append(rec)
         if len(groups[key]) == batch_size:
-            order.append((key, groups.pop(key)))
+            order.append((key, groups.pop(key), batch_size))
     if not drop_last:
         # flush remainders, padding the batch by repeating the last video so
-        # the compiled batch size stays fixed
+        # the compiled batch size stays fixed.  Repeats are *fully masked
+        # out* below so they contribute nothing to losses or metrics (each
+        # real video enters an epoch exactly once, like the reference).
         for key, rows in groups.items():
+            n_real = len(rows)
             while len(rows) % batch_size != 0:
                 rows.append(rows[-1])
             for i in range(0, len(rows), batch_size):
-                order.append((key, rows[i:i + batch_size]))
+                order.append((key, rows[i:i + batch_size],
+                              min(batch_size, n_real - i)))
 
-    for key, rows in order:
+    import jax.numpy as jnp
+    for key, rows, n_real in order:
         n, t = key
         props = stack_batches([
             pack_proposal(r[0], n, t, spec.feat_dim) for r in rows])
+        if n_real < len(rows):
+            real = jnp.arange(len(rows)) < n_real
+            props = props.replace(
+                traj_mask=props.traj_mask & real[:, None])
         gts = None
         if with_gt:
             gts = stack_batches([
                 pack_gt(r[1], spec.g_bucket, t, spec.p_bucket) for r in rows])
-        yield key, rows, props, gts
+            if n_real < len(rows):
+                gts = gts.replace(
+                    traj_mask=gts.traj_mask & real[:, None],
+                    pred_mask=gts.pred_mask & real[:, None])
+        yield key, rows[:n_real], props, gts

@@ -106,11 +106,15 @@ def bigc_losses(pred_logits, att, gts: GraphBatch, aligned_adj, traj_mask,
 
     logp = jax.nn.log_softmax(pred_logits, axis=-1)
     ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]  # (B, Q)
+    # fully-masked batch slots (remainder-padding repeats from the bucketer)
+    # contribute no queries to either CE mean
+    video_valid = traj_mask.any(-1)                          # (B,)
     pos = tgt != 0
+    neg = (~pos) & video_valid[:, None]
     n_pos = jnp.maximum(pos.sum(), 1)
-    n_neg = jnp.maximum((~pos).sum(), 1)
+    n_neg = jnp.maximum(neg.sum(), 1)
     cls_pos = (ce * pos).sum() / n_pos
-    cls_neg = (ce * ~pos).sum() / n_neg
+    cls_neg = (ce * neg).sum() / n_neg
 
     # adjacency BCE on matched pairs
     att_m = jnp.take_along_axis(
