@@ -20,7 +20,6 @@ from vidsgg_big_tpu.train.train_state import (
     make_optimizer, create_train_state, load_checkpoint)
 from vidsgg_big_tpu.train.steps import build_infer_step
 from vidsgg_big_tpu.train.grounding_steps import build_grounding_infer_step
-from vidsgg_big_tpu.train.grounding_data import prepare_grounding_queries
 from vidsgg_big_tpu.evaluation.convert import EvalFmtCvtor
 from vidsgg_big_tpu.evaluation.metrics import eval_relation_with_gt
 
@@ -98,19 +97,58 @@ def evaluate_cls_stage(args, logger, all_cfgs):
     return infer_results, rows, video_feats
 
 
+GROUNDING_Q_LADDER = (32, 64, 128, 256, 512, 1024)
+
+
+def _q_bucket_of(m: int) -> int:
+    """Smallest Q bucket holding m unique triplets; the ladder extends by
+    doubling so no video is ever truncated (the reference handles any
+    n_uniq, reference tools/eval_vidor.py:226-253)."""
+    for q in GROUNDING_Q_LADDER:
+        if m <= q:
+            return q
+    q = GROUNDING_Q_LADDER[-1]
+    while q < m:
+        q *= 2
+    return q
+
+
+def _expand_bins(prop, quint, scores3, duras, pooled, bins_probs, bins_mask):
+    """Vectorized (K+1)-bin expansion of one video's triplets: score =
+    cls_score x bin_prob, frames = round(norm_span x video_len) clamped into
+    the subject∩object overlap (reference tools/eval_vidor.py:246-253)."""
+    video_len = prop.video_len
+    m, k1 = bins_mask.shape
+    fs = np.rint(pooled[..., 0] * video_len).astype(np.int64)   # (m, K1)
+    fe = np.rint(pooled[..., 1] * video_len).astype(np.int64)
+    fs = np.clip(fs, 0, video_len - 2)
+    fe = np.maximum(fs + 1, np.minimum(fe, video_len - 1))
+    ds = duras[:, 0:1].astype(np.int64)
+    de = duras[:, 1:2].astype(np.int64)
+    fs, fe = np.maximum(fs, ds), np.minimum(fe, de)
+    bad = fe <= fs
+    fs = np.where(bad, np.broadcast_to(ds, fs.shape), fs)
+    fe = np.where(bad, np.broadcast_to(de, fe.shape), fe)
+    scores = scores3.mean(-1)[:, None] * bins_probs             # (m, K1)
+    sel = bins_mask
+    if not sel.any():
+        return None
+    qq = np.broadcast_to(quint[:, None, :], (m, k1, 5))[sel]
+    return qq, scores[sel], np.stack([fs, fe], axis=-1)[sel]
+
+
 def evaluate_combined(args, logger, all_cfgs, infer_results, rows,
                       video_feats):
-    """Stage B: grounding model expands each triplet into K+1 temporal bins
-    (reference tools/eval_vidor.py:141-280)."""
+    """Stage B: grounding model expands each unique triplet into K+1 temporal
+    bins (reference tools/eval_vidor.py:141-280) — batched per (Q, T) shape
+    bucket instead of the reference's per-video loop."""
     grd_cfgs = parse_config_py(args.grounding_cfg_path)
     gcfg = GroundingConfig.from_dict(grd_cfgs["model_config"])
     ginfer_cfg = grd_cfgs.get("inference_config", {})
     model = GroundingModel(gcfg)
 
-    # shape buckets
     max_clips = max(v.shape[0] for v in video_feats.values())
     t_bucket = 1 << (max_clips - 1).bit_length()
-    q_bucket = 256
 
     infer = build_grounding_infer_step(
         model, score_th=ginfer_cfg.get("score_th", 0.9),
@@ -118,80 +156,70 @@ def evaluate_combined(args, logger, all_cfgs, infer_results, rows,
         bins_th=args.bins_th or ginfer_cfg.get("bins_th", 0.2),
         nms_th=ginfer_cfg.get("nms_th", 0.8))
 
-    params = None
     cvt = EvalFmtCvtor("vidor")
     predict_relations = {}
+
+    # collect per-video work, grouped on the Q ladder
+    groups = {}
     for prop, gt in rows:
-        name = prop.video_name
-        trip = infer_results.get(name)
-        if trip is None:
-            predict_relations.update({cvt._reset_video_name(name): []})
+        trip = infer_results.get(prop.video_name)
+        valid = np.asarray(trip.valid) if trip is not None else None
+        if valid is None or not valid.any():
+            predict_relations[cvt._reset_video_name(prop.video_name)] = []
             continue
-        valid = np.asarray(trip.valid)
-        m = int(valid.sum())
-        if m == 0:
-            predict_relations.update({cvt._reset_video_name(name): []})
-            continue
-        quint = np.asarray(trip.quintuples)[valid][:q_bucket]
-        scores3 = np.asarray(trip.scores)[valid][:q_bucket]
-        duras = np.asarray(trip.dura_inters)[valid][:q_bucket]
-        m = quint.shape[0]
+        work = (prop, np.asarray(trip.quintuples)[valid],
+                np.asarray(trip.scores)[valid],
+                np.asarray(trip.dura_inters)[valid])
+        groups.setdefault(_q_bucket_of(int(valid.sum())), []).append(work)
 
-        vf = video_feats[name]
-        n_clips = min(vf.shape[0], t_bucket)
-        feats = np.zeros((1, t_bucket, gcfg.dim_feat), np.float32)
-        feats[0, :n_clips] = vf[:n_clips]
-        clip_mask = (np.arange(t_bucket) < n_clips)[None]
-
-        qc = np.zeros((1, q_bucket, 3), np.int32)
-        temp = np.zeros((1, q_bucket, 2), np.float32)
-        qm = np.zeros((1, q_bucket), bool)
-        qcats, qtemp, _ = prepare_grounding_queries(
-            jax.numpy.asarray(quint), jax.numpy.asarray(duras),
-            jax.numpy.asarray(np.ones(m, bool)), prop.video_len)
-        qc[0, :m] = np.asarray(qcats)
-        temp[0, :m] = np.asarray(qtemp)
-        qm[0, :m] = True
-
-        if params is None:
-            params = _load_params(
-                model, (jax.numpy.asarray(feats), jax.numpy.asarray(clip_mask),
-                        jax.numpy.asarray(qc), jax.numpy.asarray(temp),
-                        jax.numpy.asarray(qm)), args.grounding_ckpt_path)
-        pooled, bins_probs, bins_mask = jax.device_get(infer(
-            params, jax.numpy.asarray(feats), jax.numpy.asarray(clip_mask),
-            jax.numpy.asarray([n_clips]), jax.numpy.asarray(qc),
-            jax.numpy.asarray(temp), jax.numpy.asarray(qm)))
-
-        # expand: score = cls_score x bin_prob; frames = round(span x len)
-        k1 = bins_probs.shape[-1]
-        cls_score = scores3.mean(-1)                       # (m,)
-        out_q, out_s, out_d = [], [], []
-        video_len = prop.video_len
-        for i in range(m):
-            for k in range(k1):
-                if not bins_mask[0, i, k]:
+    params = None
+    batch_size = max(args.batch_size, 4)
+    for q_bucket in sorted(groups):
+        group = groups[q_bucket]
+        logger.info(f"grounding stage B: {len(group)} videos in "
+                    f"Q-bucket {q_bucket} (batch {batch_size})")
+        for s in range(0, len(group), batch_size):
+            chunk = group[s:s + batch_size]
+            b = batch_size                       # pad to a fixed batch shape
+            feats = np.zeros((b, t_bucket, gcfg.dim_feat), np.float32)
+            clips = np.zeros((b,), np.int32)
+            qc = np.zeros((b, q_bucket, 3), np.int32)
+            temp = np.zeros((b, q_bucket, 2), np.float32)
+            qm = np.zeros((b, q_bucket), bool)
+            for i, (prop, quint, scores3, duras) in enumerate(chunk):
+                vf = video_feats[prop.video_name]
+                nc = min(vf.shape[0], t_bucket)
+                feats[i, :nc] = vf[:nc]
+                clips[i] = nc
+                m = quint.shape[0]
+                qc[i, :m] = quint[:, [1, 0, 2]]   # [s_cat, pred, o_cat]
+                temp[i, :m] = duras.astype(np.float32) / prop.video_len
+                qm[i, :m] = True
+            clip_mask = np.arange(t_bucket)[None] < clips[:, None]
+            if params is None:
+                params = _load_params(
+                    model, (jax.numpy.asarray(feats),
+                            jax.numpy.asarray(clip_mask),
+                            jax.numpy.asarray(qc), jax.numpy.asarray(temp),
+                            jax.numpy.asarray(qm)),
+                    args.grounding_ckpt_path)
+            pooled, bins_probs, bins_mask = jax.device_get(infer(
+                params, jax.numpy.asarray(feats),
+                jax.numpy.asarray(clip_mask), jax.numpy.asarray(clips),
+                jax.numpy.asarray(qc), jax.numpy.asarray(temp),
+                jax.numpy.asarray(qm)))
+            for i, (prop, quint, scores3, duras) in enumerate(chunk):
+                m = quint.shape[0]
+                out = _expand_bins(prop, quint, scores3, duras,
+                                   pooled[i, :m], bins_probs[i, :m],
+                                   bins_mask[i, :m])
+                if out is None:
+                    predict_relations[
+                        cvt._reset_video_name(prop.video_name)] = []
                     continue
-                s, e = pooled[0, i, k]
-                fs = int(round(float(s) * video_len))
-                fe = int(round(float(e) * video_len))
-                fs = max(0, min(fs, video_len - 2))
-                fe = max(fs + 1, min(fe, video_len - 1))
-                # clamp into the subject∩object overlap (tracklet extent)
-                ds, de = int(duras[i][0]), int(duras[i][1])
-                fs, fe = max(fs, ds), min(fe, de)
-                if fe <= fs:
-                    fs, fe = ds, de
-                out_q.append(quint[i])
-                out_s.append(cls_score[i] * float(bins_probs[0, i, k]))
-                out_d.append((fs, fe))
-        if not out_q:
-            predict_relations.update({cvt._reset_video_name(name): []})
-            continue
-        pr = cvt.to_eval_format_pr(
-            prop, (np.stack(out_q), np.asarray(out_s),
-                   np.asarray(out_d, np.int64)))
-        predict_relations.update(pr)
+                qq, out_s, out_d = out
+                predict_relations.update(
+                    cvt.to_eval_format_pr(prop, (qq, out_s, out_d)))
     return predict_relations
 
 
