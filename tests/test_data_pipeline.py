@@ -298,3 +298,28 @@ def test_prefetch_preserves_order_and_propagates_errors():
     assert next(it) == 1
     with pytest.raises(ValueError):
         list(it)
+
+
+def test_vidor_test_split_annotation_free(tmp_path):
+    """Test-split ingestion: names + video_len/wh come from the video files
+    (reference dataloader_vidor.py:447-455), GT is None."""
+    from vidsgg_big_tpu.data.synthetic_raw import write_synthetic_vidor
+    from vidsgg_big_tpu.data.dataset import VidORDataset
+
+    cfg = write_synthetic_vidor(str(tmp_path), n_videos=3, split="test",
+                                video_len=40, wh=(64, 48))
+    assert cfg["video_dir"] is not None
+    ds = VidORDataset(**cfg)
+    assert len(ds) == 3
+    seen = 0
+    for vf, prop, gt in ds:
+        assert gt is None
+        assert prop.video_len == 40
+        assert tuple(prop.video_wh) == (64, 48)
+        assert prop.num_proposals > 0
+        assert vf.ndim == 2                      # I3D clip features
+        seen += 1
+    assert seen == 3
+    # second pass must hit the per-video .npz cache (incl. the None GT)
+    vf, prop, gt = ds[0]
+    assert gt is None and prop.video_len == 40

@@ -48,5 +48,6 @@ def make_dataset(dataset_config, dataset_type, synthetic=0, synthetic_root=None,
         if fmt and not synthetic:
             cfg["fmt"] = fmt
         return VidVRDDataset(**cfg), cfg
-    cfg.pop("video_dir", None)
+    if not cfg.get("video_dir"):
+        cfg.pop("video_dir", None)   # only test split needs the videos
     return VidORDataset(**cfg), cfg

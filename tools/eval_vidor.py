@@ -249,6 +249,20 @@ def main(args):
             pickle.dump({k: jax.tree_util.tree_map(np.asarray, v)
                          for k, v in infer_results.items()}, f)
         logger.info(f"infer results saved at {p}")
+    if args.save_json_results:
+        split = all_cfgs["test_dataset_config"].get("split", "val")
+        p = os.path.join(experiment_dir,
+                         f"VidOR{split}_predict_relations_"
+                         f"{args.save_tag}.json")
+        import json
+        with open(p, "w") as f:
+            json.dump({k: v for k, v in predict_relations.items()}, f)
+        logger.info(f"prediction json saved at {p} "
+                    f"(package with tools/cvt_results.py)")
+
+    if all(gt is None for _, gt in rows) and not args.gt_json:
+        logger.info("test split has no ground truth; skipping metric eval")
+        return
 
     gt_relations = None
     if not args.gt_json:
@@ -282,6 +296,7 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--gt_json", type=str, default=None)
     parser.add_argument("--save_infer_result", action="store_true")
+    parser.add_argument("--save_json_results", action="store_true")
     parser.add_argument("--save_hit_infos", action="store_true")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic_root", type=str, default=None)

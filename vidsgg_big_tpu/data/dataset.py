@@ -202,9 +202,15 @@ class VidORDataset:
         self.min_frames_th = min_frames_th
         self.video_feature_dir = video_feature_dir
         self.use_video_features = video_feature_dir is not None
+        self.video_dir = video_dir
         sub = {"train": "training", "val": "validation",
                "test": None}[self.split]
         self.video_ann_dir = (os.path.join(ann_dir, sub) if sub else None)
+        if self.video_ann_dir is None:
+            assert video_dir is not None, \
+                ("test split has no annotations; video_len/wh come from the "
+                 "videos themselves (reference dataloader_vidor.py:447-455) "
+                 "-- pass video_dir")
         self.cache_dir = os.path.join(
             cache_dir,
             f"{cache_tag}_VidOR{self.split}_th_{min_frames_th}"
@@ -214,10 +220,11 @@ class VidORDataset:
             self._prepare_video_names()
 
     def _prepare_video_names(self):
+        # test split: names come from the video files (no annotations)
+        root = self.video_ann_dir or self.video_dir
         names_all = []
-        for group in sorted(os.listdir(self.video_ann_dir)):
-            for v in sorted(os.listdir(
-                    os.path.join(self.video_ann_dir, group))):
+        for group in sorted(os.listdir(root)):
+            for v in sorted(os.listdir(os.path.join(root, group))):
                 names_all.append(group + "_" + v.split(".")[0])
         if self.split != "train":
             return names_all, names_all
@@ -248,15 +255,22 @@ class VidORDataset:
         parsed = parse.parse_tracklets_vidor(
             track_res, classeme, self.dim_boxfeature, self.min_frames_th)
         group, vid = video_name.split("_")
-        with open(os.path.join(self.video_ann_dir, group,
-                               vid + ".json")) as f:
-            anno = json.load(f)
-        gt = parse.parse_gt_annotation(
-            video_name, anno, vidor_CatName2Id, vidor_PredName2Id,
-            max_preds=self.max_preds, truncate=self.split == "train")
+        if self.video_ann_dir is not None:
+            with open(os.path.join(self.video_ann_dir, group,
+                                   vid + ".json")) as f:
+                anno = json.load(f)
+            gt = parse.parse_gt_annotation(
+                video_name, anno, vidor_CatName2Id, vidor_PredName2Id,
+                max_preds=self.max_preds, truncate=self.split == "train")
+            video_len, video_wh = gt.video_len, gt.video_wh
+        else:
+            from .video_io import get_video_info, find_video_file
+            gt = None
+            video_len, video_wh = get_video_info(
+                find_video_file(self.video_dir, group, vid))
         prop = parse.build_proposal_record(
             video_name, parsed, self.max_proposal, score_th=self.score_th,
-            video_len=gt.video_len, video_wh=gt.video_wh)
+            video_len=video_len, video_wh=video_wh)
         _save_record(cache, prop, gt)
         return prop, gt
 

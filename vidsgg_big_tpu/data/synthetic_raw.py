@@ -110,15 +110,30 @@ def write_synthetic_vidvrd(root: str, n_videos: int = 8, split: str = "test",
     return cfg
 
 
+def _write_video_file(path: str, video_len: int, wh) -> None:
+    """Write a tiny real video (MJPG/avi) so the annotation-free test-split
+    ingestion can read video_len/wh from the file itself."""
+    import cv2
+
+    w, h = int(wh[0]), int(wh[1])
+    out = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 25, (w, h))
+    frame = np.zeros((h, w, 3), np.uint8)
+    for _ in range(video_len):
+        out.write(frame)
+    out.release()
+
+
 def write_synthetic_vidor(root: str, n_videos: int = 6, split: str = "val",
                           dim_feat: int = 64, seed: int = 0,
                           video_len: int = 120, clip_len: int = 16,
-                          with_video_features: bool = True):
-    sub = {"train": "training", "val": "validation"}[split]
+                          with_video_features: bool = True,
+                          wh=(96, 64)):
+    sub = {"train": "training", "val": "validation", "test": None}[split]
     ann_dir = os.path.join(root, "vidor", "annotation")
-    prop_dir = os.path.join(root, "vidor", "proposals_freq1")
+    prop_dir = os.path.join(root, "vidor", f"proposals_{split}_freq1")
     clsme_dir = os.path.join(root, "vidor", "classeme")
     feat_dir = os.path.join(root, "vidor", "clip_features")
+    video_dir = os.path.join(root, "vidor", "video")
     os.makedirs(prop_dir, exist_ok=True)
     os.makedirs(clsme_dir, exist_ok=True)
     os.makedirs(feat_dir, exist_ok=True)
@@ -127,13 +142,19 @@ def write_synthetic_vidor(root: str, n_videos: int = 6, split: str = "val",
         group = f"{v % 2:04d}"
         vid = f"{2000000000 + seed * 1000 + v}"
         name = f"{group}_{vid}"
-        os.makedirs(os.path.join(ann_dir, sub, group), exist_ok=True)
         prop, gt = make_video(seed * 2000 + v, video_len=video_len,
                               feat_dim=dim_feat, num_enti_cats=81,
-                              num_pred_cats=51, name=name)
-        with open(os.path.join(ann_dir, sub, group, vid + ".json"),
-                  "w") as f:
-            json.dump(_annotation_from_gt(gt, "vidor"), f)
+                              num_pred_cats=51, name=name, wh=wh)
+        if sub is not None:
+            os.makedirs(os.path.join(ann_dir, sub, group), exist_ok=True)
+            with open(os.path.join(ann_dir, sub, group, vid + ".json"),
+                      "w") as f:
+                json.dump(_annotation_from_gt(gt, "vidor"), f)
+        else:
+            # test split: no annotations — video_len/wh live in the video
+            os.makedirs(os.path.join(video_dir, group), exist_ok=True)
+            _write_video_file(os.path.join(video_dir, group, vid + ".avi"),
+                              video_len, wh)
         rows, classeme = _rows_from_proposal(prop, "vidor", dim_feat, rng)
         np.save(os.path.join(prop_dir, name + ".npy"), rows)
         np.save(os.path.join(clsme_dir, name + "_clsme.npy"), classeme)
@@ -145,5 +166,6 @@ def write_synthetic_vidor(root: str, n_videos: int = 6, split: str = "val",
                 classeme_dir=clsme_dir, max_proposal=180, max_preds=200,
                 score_th=0.4, dim_boxfeature=dim_feat, min_frames_th=5,
                 cache_tag="SYNTH",
+                video_dir=video_dir if sub is None else None,
                 video_feature_dir=feat_dir if with_video_features else None,
                 cache_dir=os.path.join(root, "cache"))
