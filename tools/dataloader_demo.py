@@ -50,12 +50,25 @@ def main():
 
     spec = BucketSpec(feat_dim=items[0][0].features[0].shape[1]
                       if items[0][0].num_proposals else 0)
-    buckets = {}
+    buckets, videos, pad_cost = {}, {}, {}
     for key, rows, props, gts in bucketed_batches(items, spec, batch_size=2):
         buckets[key] = buckets.get(key, 0) + 1
+        videos[key] = videos.get(key, 0) + len(rows)
+        n, t = key
+        real = sum(r[0].num_proposals * min(r[0].max_frames, t)
+                   for r in rows)
+        pad_cost[key] = pad_cost.get(key, 0) + len(rows) * n * t - real
         assert props.feats.shape[1:3] == key
-    print(f"bucketed into {len(buckets)} shapes: "
-          + ", ".join(f"{k}x{v}" for k, v in sorted(buckets.items())))
+    # bucket-ladder tuning report: hit counts + padding waste per shape, the
+    # data needed to retune the (N, T) ladders on a real split
+    print(f"bucket histogram ({len(buckets)} shapes):")
+    total_cells = sum(videos[k] * k[0] * k[1] for k in buckets)
+    for k in sorted(buckets):
+        waste = pad_cost[k] / max(videos[k] * k[0] * k[1], 1)
+        print(f"  N={k[0]:>4} T={k[1]:>5}: {videos[k]:>6} videos "
+              f"{buckets[k]:>5} batches  pad-waste {waste:5.1%}")
+    overall = sum(pad_cost.values()) / max(total_cells, 1)
+    print(f"overall padding waste: {overall:.1%} of (N*T) cells")
     print("dataloader demo OK")
 
 
