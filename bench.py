@@ -21,7 +21,9 @@ import numpy as np
 N_BUCKET, T_BUCKET = 50, 256
 DIM_FEAT, DIM_I3D = 2048, 832
 BATCH = 8
-N_TIMED = 20          # timed iterations (of BATCH videos each)
+N_TIMED = 60          # timed iterations (of BATCH videos each); the single
+#                       end-of-loop fetch costs one ~25 ms tunnel RTT,
+#                       amortized to <0.5 ms per iteration at 60
 N_REF_VIDEOS = 3      # torch-CPU reference videos to time
 
 
@@ -71,6 +73,88 @@ def bench_ours(recs):
     float(np.asarray(out.scores).sum())
     dt = time.perf_counter() - t0
     return BATCH * N_TIMED / dt
+
+
+def bench_train(recs):
+    """Full BIG-C train step (fwd+bwd+Hungarian+Adam), exp2 geometry."""
+    import jax
+    import ml_dtypes
+    from vidsgg_big_tpu.data.types import (pack_proposal, pack_gt,
+                                           stack_batches)
+    from vidsgg_big_tpu.data.synthetic import make_video
+    from vidsgg_big_tpu.models import BigC, BigCConfig
+    from vidsgg_big_tpu.train.train_state import (make_optimizer,
+                                                  create_train_state)
+    from vidsgg_big_tpu.train.steps import build_train_step
+
+    cfg = BigCConfig(
+        num_pred_cats=133, num_enti_cats=36, dim_feat=DIM_FEAT,
+        dim_clsme=300, dim_enti=512, dim_pred=512, dim_att=512, dim_ffn=512,
+        dim_i3d=DIM_I3D, enco_pool_len=4, n_enco_layers=2, n_deco_layers=6,
+        n_att_head=8, num_querys=192, compute_dtype="bfloat16")
+    model = BigC(cfg, enti_name_emb=np.zeros((36, 300), np.float32))
+    vids = [make_video(i, video_len=480, n_gt_trajs=12, n_preds=16,
+                       n_distractors=34, feat_dim=DIM_FEAT + DIM_I3D,
+                       num_enti_cats=36, num_pred_cats=133)
+            for i in range(BATCH)]
+    props = stack_batches([
+        pack_proposal(p, N_BUCKET, T_BUCKET, DIM_FEAT + DIM_I3D,
+                      dtype=ml_dtypes.bfloat16) for p, _ in vids])
+    gts = stack_batches([
+        pack_gt(g, g_bucket=16, tg_bucket=T_BUCKET, p_bucket=32)
+        for _, g in vids])
+    params = model.init(jax.random.PRNGKey(0), props)
+    tx, _ = make_optimizer(1e-4, 0.2, [10_000])
+    state = create_train_state(params, tx)
+    step = build_train_step(model, tx, donate=False)
+    rng = jax.random.PRNGKey(1)
+
+    state, metrics = step(state, props, gts, rng)          # compile+warm
+    float(np.asarray(metrics["total"]))
+    n = max(N_TIMED // 2, 1)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, props, gts, rng)
+    float(np.asarray(metrics["total"]))
+    dt = (time.perf_counter() - t0) / n
+    return dt * 1000.0, BATCH / dt                          # ms/step, v/s
+
+
+def bench_grounding():
+    """Grounding (stage 2) batched inference at the worst-case bucket
+    (Q=256 unique triplets x T=512 clips, paper-scale dims)."""
+    import jax
+    import jax.numpy as jnp
+    from vidsgg_big_tpu.models.grounding import (GroundingConfig,
+                                                 GroundingModel)
+    from vidsgg_big_tpu.train.grounding_steps import (
+        build_grounding_infer_step)
+
+    b, q, t = 4, 256, 512
+    cfg = GroundingConfig(dim_feat=1024, dim_clsme=300, dim_hidden=128,
+                          num_bins=10)
+    model = GroundingModel(cfg)
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.normal(size=(b, t, 1024)), jnp.float32)
+    clip_mask = jnp.ones((b, t), bool)
+    n_clips = jnp.full((b,), t, jnp.int32)
+    qc = jnp.asarray(rng.integers(1, 50, size=(b, q, 3)), jnp.int32)
+    lo = rng.uniform(0, 0.5, size=(b, q, 1))
+    temp = jnp.asarray(np.concatenate(
+        [lo, lo + rng.uniform(0.1, 0.5, size=(b, q, 1))], -1), jnp.float32)
+    qm = jnp.ones((b, q), bool)
+    params = model.init(jax.random.PRNGKey(0), feats, clip_mask, qc, temp, qm)
+    infer = build_grounding_infer_step(model, score_th=0.9, tiou_th=0.5,
+                                       bins_th=0.2, nms_th=0.8)
+    out = infer(params, feats, clip_mask, n_clips, qc, temp, qm)
+    float(np.asarray(out[1]).sum())                        # compile+warm
+    n = max(N_TIMED // 2, 1)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = infer(params, feats, clip_mask, n_clips, qc, temp, qm)
+    float(np.asarray(out[1]).sum())
+    dt = (time.perf_counter() - t0) / n
+    return dt / b * 1000.0                                  # ms/video
 
 
 def bench_reference(recs):
@@ -131,11 +215,13 @@ def bench_reference(recs):
         proposals = [to_proposal(r) for r in recs[:N_REF_VIDEOS]]
         with torch.no_grad():
             model([proposals[0]], topk=10)   # warm-up
-            t0 = time.perf_counter()
-            for p in proposals:
-                model([p], topk=10)
-            dt = time.perf_counter() - t0
-        return len(proposals) / dt
+            best = float("inf")
+            for _ in range(2):               # two passes; host CPU timing is
+                t0 = time.perf_counter()     # noisy, credit the faster one
+                for p in proposals:
+                    model([p], topk=10)
+                best = min(best, time.perf_counter() - t0)
+        return len(proposals) / best
     finally:
         sys.path.remove("/root/reference")
 
@@ -151,6 +237,18 @@ def main():
         print(f"profiler trace written to {trace_dir}", file=sys.stderr)
     else:
         ours = bench_ours(recs)
+    extra = {}
+    try:
+        train_ms, train_vs = bench_train(recs)
+        extra["train_step_ms"] = round(train_ms, 2)
+        extra["train_videos_per_sec"] = round(train_vs, 1)
+    except Exception as e:
+        print(f"train bench failed: {e!r}", file=sys.stderr)
+    try:
+        extra["grounding_infer_ms_per_video_q256_t512"] = round(
+            bench_grounding(), 2)
+    except Exception as e:
+        print(f"grounding bench failed: {e!r}", file=sys.stderr)
     try:
         ref = bench_reference(recs)
     except Exception as e:
@@ -163,6 +261,7 @@ def main():
         "value": round(ours, 3),
         "unit": "videos/sec",
         "vs_baseline": round(vs, 2),
+        "extra": extra,
     }))
 
 

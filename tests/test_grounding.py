@@ -228,3 +228,24 @@ def test_grounding_clip_padding_invariance():
     # both buckets (zero-padded features), so valid-clip outputs must agree
     np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=2e-4, atol=2e-5)
+
+
+def test_chunked_attention_matches_direct():
+    """The lax.map-chunked exact attention (memory relief for huge B*Q x T
+    shapes) must equal the direct einsum path bit-for-bit in math."""
+    import jax
+    from vidsgg_big_tpu.models.grounding import QANetEncoderLayer
+
+    rng = np.random.default_rng(5)
+    b, t, d = 8, 16, 32
+    x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(b, t)) < 0.8)
+    mask = mask.at[:, 0].set(True)
+
+    direct = QANetEncoderLayer(d, 2, 3)
+    params = direct.init(jax.random.PRNGKey(0), x, mask=mask)
+    chunked = QANetEncoderLayer(d, 2, 3, attn_bytes_budget=8192)
+    out_d = direct.apply(params, x, mask=mask)
+    out_c = chunked.apply(params, x, mask=mask)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_d),
+                               rtol=1e-5, atol=1e-6)

@@ -6,7 +6,6 @@ from vidsgg_big_tpu.ops import (
     dura_intersection, tiou, generalized_tiou, merge_duration_list,
     viou_matrix, viou_aligned, stretch_index_np, stretch_lookup,
     adaptive_max_pool1d, pack_rows, unique_max, hungarian,
-    greedy_assignment,
 )
 from vidsgg_big_tpu.ops.segments import stretch_index
 
@@ -218,18 +217,6 @@ def test_hungarian_many_random_instances_optimal_cost():
         ours = cost[0][out[np.arange(p)], np.arange(p)].sum()
         ref = cost[0][rows, cols].sum()
         np.testing.assert_allclose(ours, ref, rtol=1e-5)
-
-
-def test_greedy_assignment_valid_permutation():
-    rng = np.random.default_rng(7)
-    cost = rng.normal(size=(2, 8, 5)).astype(np.float32)
-    n_gt = np.array([5, 2], np.int32)
-    out = np.asarray(greedy_assignment(jnp.asarray(cost), jnp.asarray(n_gt)))
-    for i in range(2):
-        m = n_gt[i]
-        vals = out[i, :m]
-        assert (vals >= 0).all() and len(set(vals.tolist())) == m
-        assert (out[i, m:] == -1).all()
 
 
 def test_hungarian_padded_gts_exceeding_queries():

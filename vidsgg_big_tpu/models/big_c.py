@@ -26,8 +26,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..data.types import TrackletBatch
-from ..ops.segments import (stretch_lookup, stretch_lookup_matmul,
-                            adaptive_max_pool1d, stretch_weighted_mean)
+from ..ops.segments import (stretch_conv_patches, adaptive_max_pool1d,
+                            stretch_weighted_mean)
 from .layers import (
     MLP, TransformerEncoderLayer, RoleAttnDecoderLayer, sine_pos_embedding,
     xavier_normal, xavier_uniform,
@@ -129,6 +129,28 @@ def geometry_features(batch: TrackletBatch):
     return geo
 
 
+class ConvAsMatmul(nn.Module):
+    """k=3/s=2/p=1 temporal conv applied to pre-extracted patches.
+
+    Parameters keep the flax ``nn.Conv`` layout ((k, C_in, F) kernel + (F,)
+    bias) so checkpoints and torch transplants are unaffected; the apply is
+    one (..., k*C_in) x (k*C_in, F) matmul.
+    """
+    features: int
+    kernel_init: callable = xavier_normal
+
+    @nn.compact
+    def __call__(self, patches):
+        kd = patches.shape[-1]
+        k = 3
+        c_in = kd // k
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        w = kernel.reshape(kd, self.features).astype(patches.dtype)
+        return patches @ w + bias.astype(patches.dtype)
+
+
 class TrackletEncoder(nn.Module):
     """Per-tracklet node embedding shared by BIG-C and Base-C.
 
@@ -165,16 +187,13 @@ class TrackletEncoder(nn.Module):
 
         bsz, n, t, _ = x.shape
         idx = batch.stretch_idx.reshape(bsz * n, t)
-        # low-precision path: one-hot matmul gather (exact row selection,
-        # ~2x faster on the MXU than the general gather at this width)
-        lookup = (stretch_lookup_matmul if x.dtype in (jnp.bfloat16,)
-                  else stretch_lookup)
-        x = lookup(x.reshape(bsz * n, t, -1), idx)
-
-        x = nn.Conv(self.dim_enti, kernel_size=(3,), strides=(2,),
-                    padding=[(1, 1)], kernel_init=self.kernel_init,
-                    dtype=cdt,
-                    name="conv_feat2enti")(x)
+        # fused stretch+conv: the repeat-stretch gather and the k3/s2 conv's
+        # patch extraction compose into one exact one-hot selection matmul,
+        # and the conv itself becomes a single (k*D -> E) matmul — no
+        # stretched (N, T, D) intermediate, everything MXU-shaped
+        patches = stretch_conv_patches(x.reshape(bsz * n, t, -1), idx)
+        x = ConvAsMatmul(self.dim_enti, kernel_init=self.kernel_init,
+                         name="conv_feat2enti")(patches)
         x = x.astype(jnp.float32)
         x = adaptive_max_pool1d(x, self.enco_pool_len, axis=-2)
         x = x.reshape(bsz, n, self.enco_pool_len * self.dim_enti)

@@ -104,6 +104,7 @@ class QANetEncoderLayer(nn.Module):
     kernel_size: int
     dropout: float = 0.1
     use_flash: bool = False
+    attn_bytes_budget: int = 1 << 30   # chunk the time attention above this
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
@@ -137,13 +138,21 @@ class QANetEncoderLayer(nn.Module):
         qh, kh, vh = dense("attn_q")(out), dense("attn_k")(out), \
             dense("attn_v")(out)
         # Long clip sequences: the (B, h, T, T) attention tensor is the
-        # grounding stage's memory/time bound.  The Pallas flash-attention
-        # kernel is available as an opt-in (self.use_flash) — measured slower
-        # than XLA at this model's head_dim=16 on paper-scale shapes, so off
-        # by default; padding is expressed as segment ids and attention
-        # dropout is skipped inside the fused kernel (inference uses none).
+        # grounding stage's memory/time bound.  Three lowerings:
+        #   * direct XLA einsum (default; fastest at paper shapes)
+        #   * chunked exact attention: at inference, when the materialized
+        #     logits would exceed ~1 GB (e.g. the B x Q flattened combined
+        #     encoder at Q=256, T=512), the batch axis is processed in
+        #     lax.map blocks — identical numerics, bounded memory
+        #   * Pallas flash attention (opt-in use_flash; measured slower than
+        #     XLA at this model's head_dim=16, kept for very long T)
         use_flash = (self.use_flash and t % 128 == 0 and t >= 256
                      and deterministic and jax.default_backend() != "cpu")
+        attn_bytes = 4 * b * h * t * t
+        chunk = b
+        while chunk * h * t * t * 4 > self.attn_bytes_budget and \
+                chunk % 2 == 0:
+            chunk //= 2
         if use_flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention, SegmentIds)
@@ -154,6 +163,25 @@ class QANetEncoderLayer(nn.Module):
                 segment_ids=SegmentIds(seg, seg),
                 sm_scale=1.0 / float(np.sqrt(hd)))
             out = o.swapaxes(1, 2)                           # (B, T, h, hd)
+        elif (deterministic and chunk < b
+              and attn_bytes > self.attn_bytes_budget):
+            m = mask if mask is not None else jnp.ones((b, t), bool)
+
+            def blk(args):
+                qc, kc, vc, mc = args
+                lg = jnp.einsum("bqhd,bkhd->bhqk", qc, kc) / np.sqrt(hd)
+                neg = jnp.asarray(jnp.finfo(lg.dtype).min, lg.dtype)
+                lg = jnp.where(mc[:, None, None, :], lg, neg)
+                at = nn.softmax(lg, axis=-1)
+                at = jnp.where(mc[:, None, None, :], at, 0.0)
+                return jnp.einsum("bhqk,bkhd->bqhd", at, vc)
+
+            n_blk = b // chunk
+            out = jax.lax.map(blk, (
+                qh.reshape(n_blk, chunk, t, h, hd),
+                kh.reshape(n_blk, chunk, t, h, hd),
+                vh.reshape(n_blk, chunk, t, h, hd),
+                m.reshape(n_blk, chunk, t))).reshape(b, t, h, hd)
         else:
             logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(hd)
             if mask is not None:

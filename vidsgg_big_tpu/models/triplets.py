@@ -9,6 +9,7 @@ static output size of ``num_querys * topk`` candidates.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -46,8 +47,9 @@ def construct_triplets(pred_logits, att, durations, scores, cat_ids,
 
     probs = jnp.exp(pred_logits - jnp.max(pred_logits, -1, keepdims=True))
     probs = probs / probs.sum(-1, keepdims=True)
-    top_cats = jnp.argsort(-probs, axis=-1)[:, :topk]
-    top_scores = jnp.take_along_axis(probs, top_cats, axis=-1)
+    # top_k instead of a full argsort over C; equal tie order (lowest index
+    # first, like a stable sort of -probs)
+    top_scores, top_cats = jax.lax.top_k(probs, topk)
     pred_scores = top_scores.reshape(m)
     pred_catids = top_cats.reshape(m).astype(jnp.int32)
     query_ids = jnp.repeat(jnp.arange(q, dtype=jnp.int32), topk)
@@ -96,8 +98,7 @@ def pairwise_construct_triplets(pred_logits, pair_ids, durations, scores,
 
     probs = jnp.exp(pred_logits - jnp.max(pred_logits, -1, keepdims=True))
     probs = probs / probs.sum(-1, keepdims=True)
-    order = jnp.argsort(probs, axis=-1)[:, ::-1][:, :topk]
-    top_scores = jnp.take_along_axis(probs, order, axis=-1)
+    top_scores, order = jax.lax.top_k(probs, topk)
     pred_scores = top_scores.reshape(m)
     pred_catids = order.reshape(m).astype(jnp.int32)
     pred2so = jnp.repeat(pair_ids, topk, axis=0)               # (M, 2)

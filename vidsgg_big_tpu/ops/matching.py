@@ -141,50 +141,3 @@ def hungarian(cost, n_gt):
       unmatched.
     """
     return jax.vmap(_assign_single)(cost, n_gt)
-
-
-def greedy_assignment(cost, n_gt, num_iters: int | None = None):
-    """Pure-JAX greedy minimum-cost assignment (cheap, not optimal)."""
-    b, q, p = cost.shape
-    iters = num_iters or p
-    gt_valid = jnp.arange(p)[None, :] < n_gt[:, None]          # (B, P)
-    big = jnp.asarray(jnp.finfo(cost.dtype).max, cost.dtype)
-    c = jnp.where(gt_valid[:, None, :], cost, big)             # (B, Q, P)
-    assign = jnp.full((b, p), -1, jnp.int32)
-
-    def body(_, state):
-        c, assign = state
-        flat = c.reshape(b, q * p)
-        idx = jnp.argmin(flat, axis=-1)                        # (B,)
-        qi, pi = idx // p, idx % p
-        ok = jnp.take_along_axis(flat, idx[:, None], axis=-1)[:, 0] < big
-        assign = jnp.where(
-            ok[:, None] & (jnp.arange(p)[None, :] == pi[:, None]),
-            qi[:, None].astype(jnp.int32), assign)
-        row_mask = jnp.arange(q)[None, :] == qi[:, None]       # (B, Q)
-        col_mask = jnp.arange(p)[None, :] == pi[:, None]       # (B, P)
-        strike = row_mask[:, :, None] | col_mask[:, None, :]
-        c = jnp.where(strike & ok[:, None, None], big, c)
-        return c, assign
-
-    _, assign = jax.lax.fori_loop(0, iters, body, (c, assign))
-    return assign
-
-
-# kept for API compatibility in host-side code paths (tools, tests)
-def hungarian_callback(cost, n_gt):
-    """Host scipy assignment (numpy in / numpy out; NOT jit-safe on TPU)."""
-    import numpy as np
-    from scipy.optimize import linear_sum_assignment
-
-    cost = np.asarray(cost)
-    n_gt = np.asarray(n_gt)
-    b, q, p = cost.shape
-    out = np.full((b, p), -1, dtype=np.int32)
-    for i in range(b):
-        m = int(n_gt[i])
-        if m == 0:
-            continue
-        rows, cols = linear_sum_assignment(cost[i, :, :m])
-        out[i, cols] = rows.astype(np.int32)
-    return out

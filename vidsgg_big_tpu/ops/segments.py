@@ -73,8 +73,14 @@ def adaptive_max_pool1d(x, out_len: int, axis: int = -2):
 
     Bin i covers [floor(i*L/out), ceil((i+1)*L/out)); bins are static slices,
     so this stays jit-friendly.  x: (..., L, ...) -> (..., out_len, ...).
+    When L divides evenly the bins are equal blocks and the pool lowers to a
+    single reshape+reduce (one fused HBM pass instead of out_len slices).
     """
     L = x.shape[axis]
+    ax = axis % x.ndim
+    if L % out_len == 0:
+        shape = x.shape[:ax] + (out_len, L // out_len) + x.shape[ax + 1:]
+        return jnp.max(x.reshape(shape), axis=ax + 1)
     pieces = []
     for i in range(out_len):
         s = (i * L) // out_len
@@ -159,6 +165,40 @@ def stretch_weighted_mean(x, lengths, t: int | None = None):
     t = t if t is not None else x.shape[-2]
     w = stretch_counts(lengths, t).astype(x.dtype) / t    # (..., T)
     return jnp.einsum("...td,...t->...d", x, w)
+
+
+def stretch_conv_patches(x, idx, kernel_size: int = 3, stride: int = 2,
+                         pad: int = 1):
+    """Patches of ``conv(stretch(x))`` without materializing the stretch.
+
+    A k=3 s=2 p=1 conv over the repeat-stretched sequence reads stretched
+    columns (s*j - 1, s*j, s*j + 1) for output j; composing that with the
+    stretch gather gives one selection matrix, applied as a single one-hot
+    matmul (exact row selection, MXU-shaped).  Fuses the reference's
+    stack_with_repeat_2d + conv_feat2enti input path into one op and skips
+    the (N, T, D) stretched intermediate entirely.
+
+    Args:
+      x:   (N, T, D) raw rows (only rows referenced by ``idx`` are read).
+      idx: (N, T) stretch gather index (see :func:`stretch_index`).
+
+    Returns:
+      (N, T_out, kernel_size * D) patches, T_out = floor((T+2p-k)/s)+1,
+      flattened in (tap, channel) order — matching a (k, D, F) conv kernel
+      reshaped to (k*D, F).
+    """
+    import jax
+
+    n, t, d = x.shape
+    t_out = (t + 2 * pad - kernel_size) // stride + 1
+    cols = (stride * jnp.arange(t_out)[:, None]
+            + jnp.arange(kernel_size)[None, :] - pad)        # (T_out, k)
+    valid = (cols >= 0) & (cols < t)
+    cols = jnp.clip(cols, 0, t - 1)
+    src = jnp.where(valid[None], idx[:, cols], -1)           # (N, T_out, k)
+    onehot = jax.nn.one_hot(src, t, dtype=x.dtype)           # (N, To, k, T)
+    patches = jnp.einsum("npkt,ntd->npkd", onehot, x)
+    return patches.reshape(n, t_out, kernel_size * d)
 
 
 def stretch_lookup_matmul(x, idx):
