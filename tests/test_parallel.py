@@ -57,3 +57,34 @@ def test_milestone_schedule():
     assert float(s(0)) == pytest.approx(1e-4)
     assert float(s(10)) == pytest.approx(2e-5)
     assert float(s(25)) == pytest.approx(4e-6)
+
+
+def test_sharded_inference_matches_single_device():
+    """Mesh-sharded bucketed inference (the eval CLIs' --data_parallel path)
+    equals the single-device triplet output."""
+    import __graft_entry__ as ge
+    from vidsgg_big_tpu.parallel.mesh import make_mesh, shard_batch
+    from vidsgg_big_tpu.train.steps import build_infer_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model, cfg = ge._flagship(feat_dim=16, dim=16, n_enco=1, n_deco=1,
+                              num_querys=8, heads=2, dim_i3d=4,
+                              num_enti=8, num_pred=6)
+    props, _ = ge._batch(8, n_bucket=8, t_bucket=16, feat_total=20,
+                         num_enti=8, num_pred=6, video_len=40)
+    params = model.init(jax.random.PRNGKey(0), props)
+
+    infer1 = build_infer_step(model, topk=3)
+    t1 = infer1(params, props)
+
+    mesh = make_mesh(8)
+    infer8 = build_infer_step(model, topk=3, mesh=mesh)
+    t8 = infer8(jax.device_put(params, NamedSharding(mesh, P())),
+                shard_batch(props, mesh))
+    for a, b in zip(jax.tree_util.tree_leaves(t1),
+                    jax.tree_util.tree_leaves(t8)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+        else:
+            np.testing.assert_array_equal(a, b)

@@ -86,9 +86,20 @@ def evaluate_cls_stage(args, logger, all_cfgs):
         params = _load_params(model, first[2], args.ckpt_path, bias)
         infer = build_infer_step(model, topk=topk)
 
+    mesh = None
+    if args.data_parallel:
+        from vidsgg_big_tpu.parallel.mesh import (make_mesh, replicated,
+                                                  shard_batch)
+        mesh = make_mesh()
+        assert args.batch_size % len(mesh.devices.ravel()) == 0, \
+            "batch_size must be divisible by the device count"
+        params = jax.device_put(params, replicated(mesh))
+        logger.info(f"data-parallel stage-A inference over {mesh}")
     infer_results = {}
     for key, brows, props, _ in bucketed_batches(rows, spec, args.batch_size,
                                                  with_gt=False):
+        if mesh is not None:
+            props = shard_batch(props, mesh)
         trip = jax.device_get(infer(params, props))
         for i, (prop, _gt) in enumerate(brows):
             one = jax.tree_util.tree_map(lambda x: x[i], trip)
@@ -295,6 +306,7 @@ if __name__ == "__main__":
     parser.add_argument("--bins_th", type=float, default=None)
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--gt_json", type=str, default=None)
+    parser.add_argument("--data_parallel", action="store_true")
     parser.add_argument("--save_infer_result", action="store_true")
     parser.add_argument("--save_json_results", action="store_true")
     parser.add_argument("--save_hit_infos", action="store_true")

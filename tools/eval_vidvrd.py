@@ -66,13 +66,24 @@ def inference_then_eval(args):
         params = state.params
         logger.info(f"loaded checkpoint {args.ckpt_path} (step {step})")
 
-    infer = build_infer_step(model, topk=topk)
+    mesh = None
+    if args.data_parallel:
+        from vidsgg_big_tpu.parallel.mesh import make_mesh, replicated
+        mesh = make_mesh()
+        assert args.batch_size % len(mesh.devices.ravel()) == 0, \
+            "batch_size must be divisible by the device count"
+        params = jax.device_put(params, replicated(mesh))
+        logger.info(f"data-parallel inference over {mesh}")
+    infer = build_infer_step(model, topk=topk, mesh=mesh)
     convertor = EvalFmtCvtor("vidvrd")
     predict_relations = {}
     infer_results = {}
     logger.info("start inference...")
     for key, rows, props, _ in bucketed_batches(items, spec, args.batch_size,
                                                 with_gt=False):
+        if mesh is not None:
+            from vidsgg_big_tpu.parallel.mesh import shard_batch
+            props = shard_batch(props, mesh)
         trip = jax.device_get(infer(params, props))
         # (batch remainders are padded by repeating the last video; the dict
         #  update below dedups those repeats by video name)
@@ -128,6 +139,7 @@ if __name__ == "__main__":
     parser.add_argument("--json_results_path", type=str, default=None)
     parser.add_argument("--save_infer_result", action="store_true")
     parser.add_argument("--save_json_results", action="store_true")
+    parser.add_argument("--data_parallel", action="store_true")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic_root", type=str, default=None)
     inference_then_eval(parser.parse_args())

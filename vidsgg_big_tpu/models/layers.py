@@ -14,6 +14,32 @@ xavier_normal = nn.initializers.glorot_normal()
 xavier_uniform = nn.initializers.glorot_uniform()
 
 
+def packed_qkv_xavier(base_init):
+    """Xavier init with the *packed* in_proj fan of torch MultiheadAttention.
+
+    The reference xavier-initializes the packed (3D, D) in_proj matrix
+    (reference models/model_0v10.py:349-355), giving std sqrt(2/(D + 3D));
+    flax's per-head (D, h, hd) kernels would see fan (D, D) and come out
+    sqrt(2) larger — enough to change early training dynamics.  This wraps
+    glorot_{normal,uniform} to use the packed fan on the per-head shape.
+    """
+    import jax
+
+    base = (jax.nn.initializers.variance_scaling(
+        1.0, "fan_avg", "truncated_normal")
+        if base_init is xavier_normal else
+        jax.nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"))
+
+    def init(key, shape, dtype=jnp.float32):
+        # DenseGeneral flattens the per-head kernel to (D, h*hd) before
+        # calling the initializer; accept that or the unflattened 3-D shape
+        d = shape[0]
+        # emulate fan_avg of (3D, D): (fan_in + fan_out)/2 = 2D
+        return base(key, (d, 3 * d), dtype)[:, :d].reshape(shape)
+
+    return init
+
+
 def sine_pos_embedding(length: int, d_model: int) -> np.ndarray:
     """Sinusoidal positional embedding, reference models/model_0v10.py:228-237."""
     i = np.arange(d_model)
@@ -61,9 +87,12 @@ class MultiHeadAttention(nn.Module):
         hd = d // h
         dense = lambda name: nn.DenseGeneral(
             (h, hd), axis=-1, kernel_init=self.kernel_init, name=name)
-        qh = dense("q")(q)
-        kh = dense("k")(k)
-        vh = dense("v")(v)
+        qkv = lambda name: nn.DenseGeneral(
+            (h, hd), axis=-1, kernel_init=packed_qkv_xavier(self.kernel_init),
+            name=name)
+        qh = qkv("q")(q)
+        kh = qkv("k")(k)
+        vh = qkv("v")(v)
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(hd)
         if key_mask is not None:
             neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
