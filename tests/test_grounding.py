@@ -249,3 +249,49 @@ def test_chunked_attention_matches_direct():
     out_c = chunked.apply(params, x, mask=mask)
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_d),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_attention_training_mode():
+    """The chunked path now also covers training: with attention dropout off
+    it equals the direct path exactly; with dropout on, gradients flow and
+    stay finite through the rematerialized lax.map blocks."""
+    import jax
+    from vidsgg_big_tpu.models.grounding import QANetEncoderLayer
+
+    rng = np.random.default_rng(6)
+    b, t, d = 8, 16, 32
+    x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(b, t)) < 0.8)
+    mask = mask.at[:, 0].set(True)
+    key = jax.random.PRNGKey(0)
+
+    # deterministic numerics: dropout disabled, non-deterministic mode
+    direct = QANetEncoderLayer(d, 2, 3, dropout=0.0, attn_dropout=0.0)
+    params = direct.init(key, x, mask=mask)
+    chunked = QANetEncoderLayer(d, 2, 3, dropout=0.0, attn_dropout=0.0,
+                                attn_bytes_budget=8192)
+    out_d = direct.apply(params, x, mask=mask, deterministic=False,
+                         rngs={"dropout": key})
+    out_c = chunked.apply(params, x, mask=mask, deterministic=False,
+                          rngs={"dropout": key})
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_d),
+                               rtol=1e-5, atol=1e-6)
+
+    # with dropout: grads finite, and the dropout actually perturbs outputs
+    stoch = QANetEncoderLayer(d, 2, 3, attn_bytes_budget=8192)
+    sp = stoch.init(key, x, mask=mask)
+
+    def loss(p, k):
+        o = stoch.apply(p, x, mask=mask, deterministic=False,
+                        rngs={"dropout": k})
+        return (o ** 2).sum()
+
+    g = jax.grad(loss)(sp, jax.random.PRNGKey(1))
+    finite = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a: bool(np.isfinite(a).all()), g))
+    assert finite
+    o1 = stoch.apply(sp, x, mask=mask, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    o2 = stoch.apply(sp, x, mask=mask, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))

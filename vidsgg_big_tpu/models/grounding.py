@@ -103,6 +103,7 @@ class QANetEncoderLayer(nn.Module):
     num_conv: int
     kernel_size: int
     dropout: float = 0.1
+    attn_dropout: float = 0.1          # on the attention weights (ref :0.1)
     use_flash: bool = False
     attn_bytes_budget: int = 1 << 30   # chunk the time attention above this
 
@@ -140,10 +141,13 @@ class QANetEncoderLayer(nn.Module):
         # Long clip sequences: the (B, h, T, T) attention tensor is the
         # grounding stage's memory/time bound.  Three lowerings:
         #   * direct XLA einsum (default; fastest at paper shapes)
-        #   * chunked exact attention: at inference, when the materialized
-        #     logits would exceed ~1 GB (e.g. the B x Q flattened combined
-        #     encoder at Q=256, T=512), the batch axis is processed in
-        #     lax.map blocks — identical numerics, bounded memory
+        #   * chunked exact attention: when the materialized logits would
+        #     exceed ~1 GB (e.g. the B x Q flattened combined encoder at
+        #     Q=256, T=512), the batch axis is processed in lax.map blocks —
+        #     identical numerics, bounded memory.  At training the chunks are
+        #     rematerialized (backward recomputes each block's attention) and
+        #     attention dropout is drawn per chunk from a split rng, so
+        #     worst-case grounding *training* shapes stay bounded too
         #   * Pallas flash attention (opt-in use_flash; measured slower than
         #     XLA at this model's head_dim=16, kept for very long T)
         use_flash = (self.use_flash and t % 128 == 0 and t >= 256
@@ -153,6 +157,7 @@ class QANetEncoderLayer(nn.Module):
         while chunk * h * t * t * 4 > self.attn_bytes_budget and \
                 chunk % 2 == 0:
             chunk //= 2
+        drop = (not deterministic) and self.attn_dropout > 0.0
         if use_flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention, SegmentIds)
@@ -163,25 +168,34 @@ class QANetEncoderLayer(nn.Module):
                 segment_ids=SegmentIds(seg, seg),
                 sm_scale=1.0 / float(np.sqrt(hd)))
             out = o.swapaxes(1, 2)                           # (B, T, h, hd)
-        elif (deterministic and chunk < b
-              and attn_bytes > self.attn_bytes_budget):
+        elif chunk < b and attn_bytes > self.attn_bytes_budget:
             m = mask if mask is not None else jnp.ones((b, t), bool)
+            n_blk = b // chunk
 
             def blk(args):
-                qc, kc, vc, mc = args
+                if drop:
+                    qc, kc, vc, mc, key = args
+                else:
+                    qc, kc, vc, mc = args
                 lg = jnp.einsum("bqhd,bkhd->bhqk", qc, kc) / np.sqrt(hd)
                 neg = jnp.asarray(jnp.finfo(lg.dtype).min, lg.dtype)
                 lg = jnp.where(mc[:, None, None, :], lg, neg)
                 at = nn.softmax(lg, axis=-1)
                 at = jnp.where(mc[:, None, None, :], at, 0.0)
+                if drop:
+                    keep = jax.random.bernoulli(
+                        key, 1.0 - self.attn_dropout, at.shape)
+                    at = jnp.where(keep, at / (1.0 - self.attn_dropout), 0.0)
                 return jnp.einsum("bhqk,bkhd->bqhd", at, vc)
 
-            n_blk = b // chunk
-            out = jax.lax.map(blk, (
-                qh.reshape(n_blk, chunk, t, h, hd),
-                kh.reshape(n_blk, chunk, t, h, hd),
-                vh.reshape(n_blk, chunk, t, h, hd),
-                m.reshape(n_blk, chunk, t))).reshape(b, t, h, hd)
+            ops = (qh.reshape(n_blk, chunk, t, h, hd),
+                   kh.reshape(n_blk, chunk, t, h, hd),
+                   vh.reshape(n_blk, chunk, t, h, hd),
+                   m.reshape(n_blk, chunk, t))
+            if drop:
+                ops += (jax.random.split(self.make_rng("dropout"), n_blk),)
+            fn = blk if deterministic else jax.checkpoint(blk)
+            out = jax.lax.map(fn, ops).reshape(b, t, h, hd)
         else:
             logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(hd)
             if mask is not None:
@@ -190,7 +204,8 @@ class QANetEncoderLayer(nn.Module):
             attn = nn.softmax(logits, axis=-1)
             if mask is not None:
                 attn = jnp.where(mask[:, None, None, :], attn, 0.0)
-            attn = nn.Dropout(0.1)(attn, deterministic=deterministic)
+            attn = nn.Dropout(self.attn_dropout)(attn,
+                                                 deterministic=deterministic)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
         out = nn.DenseGeneral(d, axis=(-2, -1), kernel_init=torch_linear,
                               name="attn_out")(out)
