@@ -19,8 +19,15 @@ from .losses import bigc_train_loss
 from .train_state import TrainState
 
 
-def build_train_step(model: BigC, tx, mesh=None, donate: bool = True):
-    """Returns step(state, props, gts, dropout_rng) -> (state, metrics)."""
+def build_train_step(model: BigC, tx, mesh=None, donate: bool = True,
+                     state_shardings=None):
+    """Returns step(state, props, gts, dropout_rng) -> (state, metrics).
+
+    With ``mesh`` alone: pure data parallelism (replicated params).  Pass
+    ``state_shardings`` (from ``parallel.sharding.state_shardings`` of a
+    TP-sharded state) to keep tensor-parallel parameter layouts across the
+    step boundary on a 2-D (data, model) mesh.
+    """
     cfg = model.cfg
 
     def step(state: TrainState, props, gts, rng):
@@ -42,9 +49,10 @@ def build_train_step(model: BigC, tx, mesh=None, donate: bool = True):
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        st = state_shardings if state_shardings is not None else repl
         kwargs = dict(
-            in_shardings=(repl, data, data, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(st, data, data, repl),
+            out_shardings=(st, repl),
         )
     if donate:
         kwargs["donate_argnums"] = (0,)
