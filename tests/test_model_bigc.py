@@ -187,3 +187,46 @@ def test_construct_triplets_matches_reference_logic():
     assert set(got) == set(expect)
     for k in expect:
         np.testing.assert_allclose(got[k], expect[k], rtol=1e-5)
+
+
+def test_int8_feature_storage_close_to_f32():
+    """int8 feature storage (opt-in serving path): forward logits stay close
+    to the f32 reference and the param tree is unchanged; training-mode apply
+    dequantizes and keeps nonzero grads into the first visual layer."""
+    import jax
+    import __graft_entry__ as ge
+    from vidsgg_big_tpu.data.synthetic import make_video
+    from vidsgg_big_tpu.data.types import pack_proposal, stack_batches
+
+    model, cfg = ge._flagship(feat_dim=64, dim=32, n_enco=1, n_deco=2,
+                              num_querys=16, heads=4, dim_i3d=16,
+                              num_enti=12, num_pred=10)
+    recs = [make_video(i, video_len=64, feat_dim=80, n_gt_trajs=4, n_preds=6,
+                       num_enti_cats=12, num_pred_cats=10)[0]
+            for i in range(2)]
+    b32 = stack_batches([pack_proposal(r, 8, 32, 80) for r in recs])
+    b8 = stack_batches([pack_proposal(r, 8, 32, 80, dtype=np.int8)
+                        for r in recs])
+    assert b8.feats.dtype == jnp.int8
+
+    params32 = model.init(jax.random.PRNGKey(0), b32)
+    params8 = model.init(jax.random.PRNGKey(0), b8)
+    assert (jax.tree_util.tree_structure(params32) ==
+            jax.tree_util.tree_structure(params8))
+
+    out32 = model.apply(params32, b32)["pred_logits"]
+    out8 = model.apply(params32, b8)["pred_logits"]
+    a, b = np.asarray(out32, np.float64), np.asarray(out8, np.float64)
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(a, b, atol=0.15 * np.abs(a).max())
+
+    # training mode: grads flow into the quantized-at-inference layer
+    def loss(p):
+        o = model.apply(p, b8, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+        return (o["pred_logits"].astype(jnp.float32) ** 2).mean()
+
+    g = jax.grad(loss)(params32)
+    gk = g["params"]["tracklet_encoder"]["fc_feat2enti"]["dense0"]["kernel"]
+    assert float(np.abs(np.asarray(gk)).max()) > 0.0

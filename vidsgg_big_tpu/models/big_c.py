@@ -181,8 +181,19 @@ class TrackletEncoder(nn.Module):
         cdt = jnp.dtype(self.compute_dtype)
         x_geo = MLP((self.dim_enti, self.dim_enti), kernel_init=self.kernel_init,
                     name="fc_bbox2enti")(geo.astype(cdt))
-        x_vis = MLP((self.dim_enti, self.dim_enti), kernel_init=self.kernel_init,
-                    name="fc_feat2enti")(visual.astype(cdt))
+        if visual.dtype == jnp.int8:
+            # int8 feature storage: first layer on the int8 MXU path with the
+            # per-video dequant scale; later layers continue in bfloat16
+            scale = batch.feat_scale.reshape(
+                batch.feat_scale.shape + (1,) * (visual.ndim -
+                                                 batch.feat_scale.ndim))
+            x_vis = MLP((self.dim_enti, self.dim_enti),
+                        kernel_init=self.kernel_init,
+                        name="fc_feat2enti")(visual, input_scale=scale)
+        else:
+            x_vis = MLP((self.dim_enti, self.dim_enti),
+                        kernel_init=self.kernel_init,
+                        name="fc_feat2enti")(visual.astype(cdt))
         x = jnp.concatenate([x_geo, x_vis], axis=-1)          # (B, N, T, 2E)
 
         bsz, n, t, _ = x.shape
@@ -230,6 +241,15 @@ class BigC(nn.Module):
         assert batch.feats.shape[-1] == expect, (
             f"feature dim {batch.feats.shape[-1]} != dim_feat"
             f"+dim_i3d/clsme = {expect}; check dataset fmt vs model config")
+        if batch.feats.dtype == jnp.int8 and not deterministic:
+            # int8 storage is an inference path (the quantized kernel has no
+            # useful gradient); training dequantizes once up front
+            scale = batch.feat_scale.reshape(
+                batch.feat_scale.shape + (1,) * (batch.feats.ndim -
+                                                 batch.feat_scale.ndim))
+            batch = batch.replace(feats=batch.feats.astype(
+                jnp.dtype(cfg.compute_dtype)) * scale.astype(
+                    jnp.dtype(cfg.compute_dtype)))
         enti2enco, extra = TrackletEncoder(
             cfg.dim_enti, cfg.dim_feat, cfg.enco_pool_len,
             kernel_init=self.kinit, compute_dtype=cfg.compute_dtype,
@@ -274,6 +294,11 @@ class BigC(nn.Module):
         # equivalent to a repeat-counts-weighted mean over raw frames
         if cfg.dim_i3d or cfg.clsme_in_feats:
             lengths = batch.durations[..., 1] - batch.durations[..., 0] + 1
+            if extra.dtype == jnp.int8:    # dequantize the aux channels
+                scale = batch.feat_scale.reshape(
+                    batch.feat_scale.shape + (1,) * (extra.ndim -
+                                                     batch.feat_scale.ndim))
+                extra = extra.astype(jnp.float32) * scale
             extra_avg = stretch_weighted_mean(extra, lengths)  # (B, N, D_x)
         else:
             extra_avg = None

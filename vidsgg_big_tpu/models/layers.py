@@ -50,19 +50,57 @@ def sine_pos_embedding(length: int, d_model: int) -> np.ndarray:
     return np.sin(pos * freqs[None, :] + phases[None, :]).astype(np.float32)
 
 
+class Int8Dense(nn.Module):
+    """Dense over int8 activations via the int8 MXU path (inference only).
+
+    Parameters are stored float32 under the same names/shapes as ``nn.Dense``
+    (checkpoints and torch transplants are unaffected); the kernel is
+    quantized per output column at apply time (tiny vs the activations), the
+    dot accumulates in int32, and the product of the activation scale and the
+    column scales dequantizes the result.  Measured 1.5x the bf16 rate at the
+    encoder's (M x 2048) x (2048 x 512) shape — but only when the activations
+    are *stored* int8; any on-the-fly activation-quantize pass costs more
+    than the dot saves (scripts/int8_experiment.py).
+    """
+    features: int
+    kernel_init: callable = xavier_normal
+
+    @nn.compact
+    def __call__(self, x, input_scale):
+        assert x.dtype == jnp.int8, x.dtype
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        sw = jnp.max(jnp.abs(kernel), axis=0) / 127.0
+        kq = jnp.round(kernel / sw).astype(jnp.int8)
+        acc = jnp.dot(x, kq, preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * (input_scale * sw) + bias
+        return y.astype(jnp.bfloat16)
+
+
 class MLP(nn.Module):
     """Linear->ReLU stacks used throughout (fc_feat2enti etc.).
 
     When the input arrives in a low-precision dtype the matmuls run in that
-    dtype on the MXU (params stay float32)."""
+    dtype on the MXU (params stay float32).  int8 inputs (quantized feature
+    storage) run the first layer through :class:`Int8Dense`; pass the
+    dequantization ``input_scale`` (broadcastable to the batch shape)."""
     features: tuple
     final_relu: bool = True
     kernel_init: callable = xavier_normal
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, input_scale=None):
+        start = 0
+        if x.dtype == jnp.int8:
+            assert input_scale is not None, "int8 MLP input needs a scale"
+            x = Int8Dense(self.features[0], kernel_init=self.kernel_init,
+                          name="dense0")(x, input_scale)
+            if len(self.features) > 1 or self.final_relu:
+                x = nn.relu(x)
+            start = 1
         dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float16) else None
-        for k, f in enumerate(self.features):
+        for k, f in list(enumerate(self.features))[start:]:
             x = nn.Dense(f, kernel_init=self.kernel_init, dtype=dtype,
                          name=f"dense{k}")(x)
             if k < len(self.features) - 1 or self.final_relu:
