@@ -51,7 +51,8 @@ def evaluate_cls_stage(args, logger, all_cfgs):
     video_feats = {it[-2].video_name: it[0] for it in items} \
         if dataset.use_video_features else {}
     feat_dim = rows[0][0].features[0].shape[1]
-    spec = BucketSpec(feat_dim=feat_dim, n_ladder=(8, 16, 32, 64, 128, 192))
+    spec = BucketSpec(feat_dim=feat_dim, n_ladder=(8, 16, 32, 64, 128, 192),
+                      feat_dtype=args.feat_dtype)
 
     if args.use_baseline:
         cfg = BaseCConfig.from_dict(model_config)
@@ -310,6 +311,9 @@ if __name__ == "__main__":
     parser.add_argument("--save_infer_result", action="store_true")
     parser.add_argument("--save_json_results", action="store_true")
     parser.add_argument("--save_hit_infos", action="store_true")
+    parser.add_argument("--feat_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16", "int8"],
+                        help="feature storage dtype (int8: quantized serving path)")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic_root", type=str, default=None)
     main(parser.parse_args())

@@ -54,7 +54,8 @@ def inference_then_eval(args):
     model = BigC(cfg, enti_name_emb=enti_emb)
     items = list(dataset)
     feat_dim = items[0][0].features[0].shape[1]
-    spec = BucketSpec(feat_dim=feat_dim)
+    spec = BucketSpec(feat_dim=feat_dim,
+                      feat_dtype=args.feat_dtype)
 
     first = next(iter(bucketed_batches(items, spec, 1, with_gt=False)))
     params = model.init(jax.random.PRNGKey(0), first[2])
@@ -140,6 +141,9 @@ if __name__ == "__main__":
     parser.add_argument("--save_infer_result", action="store_true")
     parser.add_argument("--save_json_results", action="store_true")
     parser.add_argument("--data_parallel", action="store_true")
+    parser.add_argument("--feat_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16", "int8"],
+                        help="feature storage dtype (int8: quantized serving path)")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic_root", type=str, default=None)
     inference_then_eval(parser.parse_args())

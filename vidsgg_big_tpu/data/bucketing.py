@@ -33,6 +33,7 @@ class BucketSpec:
     g_bucket: int = 32            # GT trajectories
     p_bucket: int = 128           # GT predicates
     feat_dim: int = 0
+    feat_dtype: str = "float32"   # feature storage: float32/bfloat16/int8
 
     def bucket_of(self, prop: VideoProposalRecord) -> Tuple[int, int]:
         n = pick(max(prop.num_proposals, 1), self.n_ladder)
@@ -75,10 +76,14 @@ def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
                               min(batch_size, n_real - i)))
 
     import jax.numpy as jnp
+    import ml_dtypes
+    dtype = (ml_dtypes.bfloat16 if spec.feat_dtype == "bfloat16"
+             else np.dtype(spec.feat_dtype))
     for key, rows, n_real in order:
         n, t = key
         props = stack_batches([
-            pack_proposal(r[0], n, t, spec.feat_dim) for r in rows])
+            pack_proposal(r[0], n, t, spec.feat_dim, dtype=dtype)
+            for r in rows])
         if n_real < len(rows):
             real = jnp.arange(len(rows)) < n_real
             props = props.replace(
