@@ -141,7 +141,7 @@ def bench_grounding():
 
     b, q, t = 4, 256, 512
     cfg = GroundingConfig(dim_feat=1024, dim_clsme=300, dim_hidden=128,
-                          num_bins=10)
+                          num_bins=10, compute_dtype="bfloat16")
     model = GroundingModel(cfg)
     rng = np.random.default_rng(3)
     feats = jnp.asarray(rng.normal(size=(b, t, 1024)), jnp.float32)

@@ -295,3 +295,44 @@ def test_chunked_attention_training_mode():
     o2 = stoch.apply(sp, x, mask=mask, deterministic=False,
                      rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_grounding_bf16_compute_close_to_f32():
+    """compute_dtype='bfloat16' (bandwidth relief for the conv/attention
+    stacks): same params, outputs close to the f32 path."""
+    import jax
+    from vidsgg_big_tpu.models.grounding import (GroundingConfig,
+                                                 GroundingModel)
+
+    rng = np.random.default_rng(7)
+    b, t, q = 2, 24, 6
+    base = dict(dim_feat=32, dim_clsme=16, dim_hidden=32, num_bins=4,
+                num_pred_cats=10, num_enti_cats=12)
+    feats = jnp.asarray(rng.normal(size=(b, t, 32)), jnp.float32)
+    cm = jnp.asarray(rng.uniform(size=(b, t)) < 0.8).at[:, 0].set(True)
+    qc = jnp.asarray(rng.integers(1, 10, size=(b, q, 3)), jnp.int32)
+    lo = rng.uniform(0, 0.5, size=(b, q, 1))
+    temp = jnp.asarray(np.concatenate(
+        [lo, lo + rng.uniform(0.1, 0.5, size=(b, q, 1))], -1), jnp.float32)
+    qm = jnp.ones((b, q), bool)
+
+    m32 = GroundingModel(GroundingConfig(**base))
+    m16 = GroundingModel(GroundingConfig(**base, compute_dtype="bfloat16"))
+    params = m32.init(jax.random.PRNGKey(0), feats, cm, qc, temp, qm)
+    o32 = m32.apply(params, feats, cm, qc, temp, qm)
+    o16 = m16.apply(params, feats, cm, qc, temp, qm)
+    # conf/cls are raw logits: cosine + bulk-relative closeness
+    for a, b_ in zip(o32[1:], o16[1:]):
+        a, b_ = np.asarray(a, np.float64), np.asarray(b_, np.float64)
+        assert np.isfinite(b_).all()
+        cos = (a * b_).sum() / (np.linalg.norm(a) * np.linalg.norm(b_))
+        assert cos > 0.999, cos
+        err = np.abs(a - b_)
+        assert np.quantile(err, 0.99) < 0.05 * np.abs(a).max()
+    # regrs is a sigmoid output: a random-init stack saturates it, so bf16
+    # shifts flip a small tail of elements — bound the bulk, not the max
+    a, b_ = np.asarray(o32[0], np.float64), np.asarray(o16[0], np.float64)
+    assert np.isfinite(b_).all()
+    err = np.abs(a - b_)
+    assert np.median(err) < 0.01
+    assert (err > 0.2).mean() < 0.01, (err > 0.2).mean()
