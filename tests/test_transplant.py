@@ -201,6 +201,77 @@ def test_triplet_parity(reference_bigc, tmp_path):
             assert got[k][2] == qi
 
 
+def test_grounding_forward_parity(reference_utils, tmp_path):
+    """Whole grounding-model (DEBUG) forward parity via weight transplant.
+
+    A randomly-initialized reference ``DEBUG`` (reference
+    models/grd_model_v5.py:140-193, eval mode) against our batched
+    :class:`GroundingModel` on the same videos/queries: regression,
+    confidence, and classification maps must match.  The reference hard-
+    asserts the VidOR vocabulary (81 entities / 51 predicates, 300-d GloVe),
+    so the test uses those table shapes with small hidden dims.
+    """
+    import sys
+    import torch
+
+    from vidsgg_big_tpu.models.grounding import (GroundingConfig,
+                                                 GroundingModel)
+    from vidsgg_big_tpu.models.transplant import grounding_params_from_torch
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.grd_model_v5 import DEBUG
+    finally:
+        sys.path.remove("/root/reference")
+
+    rng = np.random.default_rng(5)
+    enti = rng.normal(0, 1, (81, 300)).astype(np.float32)
+    pred = rng.normal(0, 1, (51, 300)).astype(np.float32)
+    np.save(tmp_path / "enti.npy", enti)
+    np.save(tmp_path / "pred.npy", pred)
+    torch.manual_seed(3)
+    ref = DEBUG(dict(dim_feat=24, dim_clsme=300, dim_hidden=32, num_bins=4,
+                     loss_factor=dict(classification=1.0, centerness=1.0,
+                                      regression=1.0),
+                     EntiNameEmb_path=str(tmp_path / "enti.npy"),
+                     PredNameEmb_path=str(tmp_path / "pred.npy")),
+                is_train=False)
+    ref.eval()
+
+    cfg = GroundingConfig(dim_feat=24, dim_clsme=300, dim_hidden=32,
+                          num_bins=4, num_pred_cats=51, num_enti_cats=81)
+    model = GroundingModel(cfg)
+    variables = grounding_params_from_torch(ref.state_dict())
+
+    t, q = 19, 6
+    feats = rng.normal(size=(1, t, 24)).astype(np.float32)
+    cats = rng.integers(1, 50, size=(1, q, 3)).astype(np.int32)
+    lo = rng.uniform(0, 0.5, size=(1, q, 1))
+    temporal = np.concatenate(
+        [lo, lo + rng.uniform(0.1, 0.5, size=(1, q, 1))], -1).astype(
+            np.float32)
+
+    regrs, conf, cls = model.apply(
+        variables, feats, np.ones((1, t), bool), cats, temporal,
+        np.ones((1, q), bool))
+
+    with torch.no_grad():
+        words = torch.stack(
+            [torch.tensor(enti[cats[0, :, 0]]),
+             torch.tensor(pred[cats[0, :, 1]]),
+             torch.tensor(enti[cats[0, :, 2]])], dim=1)      # (Q, 3, 300)
+        regrs_r, conf_r, cls_r = ref.forward_propagation(
+            torch.tensor(feats[0]), words, torch.tensor(temporal[0]))
+
+    k = cfg.num_bins
+    np.testing.assert_allclose(np.asarray(regrs[0]).reshape(q, t, 2 * k),
+                               regrs_r.numpy(), rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(conf[0]), conf_r.numpy(),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(cls[0]), cls_r.numpy(),
+                               rtol=5e-4, atol=5e-4)
+
+
 @pytest.mark.parametrize("variant,kw", [CASES[0], CASES[2]],
                          ids=["v10_i3d", "v7_emb"])
 def test_train_loss_parity(reference_bigc, tmp_path, variant, kw):

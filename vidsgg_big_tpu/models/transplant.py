@@ -1,9 +1,11 @@
-"""Torch-reference -> flax weight transplant for BIG-C.
+"""Torch-reference -> flax weight transplants (BIG-C and grounding).
 
 Converts a reference ``BIG_C`` state_dict (reference models/model_0v10.py:239-
-366 / models/model_0v7.py) into the parameter pytree of :class:`BigC`, so
-whole-model forward/loss parity can be asserted numerically without any
-retraining.  Layout conversions only — no reference code is executed here:
+366 / models/model_0v7.py) into the parameter pytree of :class:`BigC`, and a
+reference ``DEBUG`` state_dict (reference models/grd_model_v5.py:140-193)
+into the pytree of :class:`GroundingModel`, so whole-model forward/loss
+parity can be asserted numerically without any retraining.  Layout
+conversions only — no reference code is executed here:
 
   * ``nn.Linear``      weight (out, in)        -> Dense kernel (in, out)
   * ``nn.Conv1d``      weight (out, in, k)     -> Conv kernel (k, in, out)
@@ -144,6 +146,79 @@ def bigc_params_from_torch(state_dict, cfg):
         if cfg.variant == "v7" and "pos_embedding" in sd else None,
     }
     return {"params": p}, tables
+
+
+def _dwconv(sd, prefix):
+    """torch DepthWiseSeparableConv1d -> flax DepthwiseSeparableConv.
+
+    Conv1d weights are (out, in/groups, k); flax Conv kernels are
+    (k, in/groups, out) — the same transpose for both sub-convs
+    (reference models/grd_model_v5.py:36-56).
+    """
+    return {
+        "depth_wise": {
+            "kernel": _np(sd[f"{prefix}.depth_wise.weight"]).transpose(
+                2, 1, 0),
+            "bias": _np(sd[f"{prefix}.depth_wise.bias"]),
+        },
+        "point_wise": {
+            "kernel": _np(sd[f"{prefix}.point_wise.weight"]).transpose(
+                2, 1, 0),
+            "bias": _np(sd[f"{prefix}.point_wise.bias"]),
+        },
+    }
+
+
+def _qanet_layer(sd, prefix, num_conv, num_heads=8):
+    """torch QANetEncoderLayer -> flax QANetEncoderLayer params
+    (reference models/grd_model_v5.py:81-137)."""
+    mha = _mha(sd, f"{prefix}.mh_attn", num_heads)
+    out = {
+        "normb": _layernorm(sd, f"{prefix}.normb"),
+        "norme": _layernorm(sd, f"{prefix}.norme"),
+        "fc": _dense(sd, f"{prefix}.fc"),
+        "attn_q": mha["q"], "attn_k": mha["k"], "attn_v": mha["v"],
+        "attn_out": mha["out"],
+    }
+    for i in range(num_conv):
+        out[f"conv{i}"] = _dwconv(sd, f"{prefix}.convs.{i}")
+        out[f"norm{i}"] = _layernorm(sd, f"{prefix}.norm_seq.{i}")
+    return out
+
+
+def _conv_head(sd, prefix):
+    """torch Sequential([DWConv, ReLU] x4 + DWConv) -> flax ConvHead
+    (reference models/grd_model_v5.py:182-193; torch indices i.0 / 4)."""
+    out = {f"conv{i}": _dwconv(sd, f"{prefix}.{i}.0") for i in range(4)}
+    out["out"] = _dwconv(sd, f"{prefix}.4")
+    return out
+
+
+def grounding_params_from_torch(state_dict):
+    """Build the flax ``{"params": ...}`` tree of :class:`GroundingModel`
+    from a torch reference ``DEBUG`` state_dict
+    (reference models/grd_model_v5.py:140-193).
+
+    The embedding tables (EntiNameEmb/PredNameEmb) are trainable parameters
+    in both implementations and transplant directly.
+    """
+    sd = dict(state_dict)
+    p = {
+        "EntiNameEmb": _np(sd["EntiNameEmb"]),
+        "PredNameEmb": _np(sd["PredNameEmb"]),
+        "video_fc": _dense(sd, "video_fc"),
+        "query_fc": _dense(sd, "query_fc"),
+        "temp_fc": _dense(sd, "temp_fc"),
+        "vq_fc": _dense(sd, "vq_fc"),
+        "proj2sim": {"kernel": _np(sd["proj2sim.weight"]).T},
+        "video_encoder": _qanet_layer(sd, "video_encoder", num_conv=4),
+        "query_encoder": _qanet_layer(sd, "query_encoder", num_conv=4),
+        "combined_encoder": _qanet_layer(sd, "combined_encoder", num_conv=4),
+        "cls_head": _conv_head(sd, "cls_head"),
+        "conf_head": _conv_head(sd, "conf_head"),
+        "regr_head": _conv_head(sd, "regr_head"),
+    }
+    return {"params": p}
 
 
 def strip_module_prefix(state_dict):
