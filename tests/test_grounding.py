@@ -297,6 +297,102 @@ def test_chunked_attention_training_mode():
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
 
 
+def test_grounding_loss_parity(ref_debug_cls):
+    """Our masked batched grounding loss == the reference map2bins+loss on
+    shared random predictions (reference grd_model_v5.py:390-527).
+
+    Exercises duplicate groups (shared representative outputs), per-group
+    negative bins, negative-predicate queries, and all five components'
+    mean-reduction denominators across a 2-video batch.
+    """
+    import torch
+    from vidsgg_big_tpu.models.grounding import (GroundingConfig,
+                                                 grounding_gt_labels,
+                                                 grounding_loss)
+
+    rng = np.random.default_rng(13)
+    k = 4
+    t = 13                                   # n_clips, no padding
+    lf = dict(classification=1.0, centerness=1.0, regression=1.0)
+    cfg = GroundingConfig(dim_feat=8, dim_clsme=8, dim_hidden=8, num_bins=k,
+                          num_pred_cats=10, num_enti_cats=8,
+                          loss_cls=1.0, loss_ctn=1.0, loss_reg=1.0)
+
+    # two videos with duplicate groups: index_map[i] lists the GT-target ids
+    # served by unique query i (ordering defines our slot order)
+    index_maps = [[[0, 2], [1]], [[0], [1], [2, 3]]]
+    ref_losses, our_inputs = [], []
+    for index_map in index_maps:
+        n_gt = sum(len(g) for g in index_map)
+        n_uniq = len(index_map)
+        s = rng.uniform(0, 0.55, n_gt)
+        tgt = np.stack([s, s + rng.uniform(0.15, 0.4, n_gt)], 1).astype(
+            np.float32)
+        regrs = rng.uniform(0.01, 0.6, (2 * n_uniq, t, 2 * k)).astype(
+            np.float32)
+        conf = rng.normal(size=(2 * n_uniq, t, k)).astype(np.float32)
+        cls = rng.normal(size=(2 * n_uniq, t, k)).astype(np.float32)
+
+        ns = types.SimpleNamespace(num_bins=k, loss_factor=lf)
+        label = ref_debug_cls.get_gt_labels(ns, torch.tensor(tgt), t)
+        imp = [torch.tensor(g, dtype=torch.long) for g in index_map]
+        mapped = ref_debug_cls.map2bins(
+            ns, torch.tensor(regrs), torch.tensor(conf), torch.tensor(cls),
+            label[-1], imp)
+        ref_losses.append((mapped, label, imp))
+        our_inputs.append((index_map, tgt, regrs, conf, cls))
+
+    ld_ref = ref_debug_cls.loss(
+        types.SimpleNamespace(num_bins=k, loss_factor=lf),
+        [m for m, _, _ in ref_losses], [l for _, l, _ in ref_losses],
+        [i for _, _, i in ref_losses])
+
+    # ---- ours: pack both videos into a padded (B, Q, ...) batch ----
+    b = len(our_inputs)
+    qmax = max(sum(len(g) for g in im) for im, *_ in our_inputs)
+    Z = lambda *s: np.zeros(s, np.float32)
+    o_regr, o_conf, o_cls = Z(b, qmax, t, 2, k), Z(b, qmax, t, k), \
+        Z(b, qmax, t, k)
+    n_regr, n_conf, n_cls = Z(b, qmax, t, 2, k), Z(b, qmax, t, k), \
+        Z(b, qmax, t, k)
+    targets = Z(b, qmax, 2)
+    group_rep = np.zeros((b, qmax), np.int32)
+    is_rep = np.zeros((b, qmax), bool)
+    qmask = np.zeros((b, qmax), bool)
+    for v, (index_map, tgt, regrs, conf, cls) in enumerate(our_inputs):
+        slot = 0
+        for i, grp in enumerate(index_map):
+            rep = slot
+            for gid in grp:
+                targets[v, slot] = tgt[gid]
+                group_rep[v, slot] = rep
+                qmask[v, slot] = True
+                slot += 1
+            is_rep[v, rep] = True
+            o_regr[v, rep] = regrs[i].reshape(t, 2, k)
+            o_conf[v, rep], o_cls[v, rep] = conf[i], cls[i]
+            n_uniq = len(index_map)
+            n_regr[v, rep] = regrs[n_uniq + i].reshape(t, 2, k)
+            n_conf[v, rep], n_cls[v, rep] = conf[n_uniq + i], \
+                cls[n_uniq + i]
+
+    labels = jax.vmap(
+        lambda tg: grounding_gt_labels(jnp.asarray(tg), jnp.asarray(t),
+                                       t=t, num_bins=k))(targets)
+    total, ld = grounding_loss(
+        (jnp.asarray(o_regr), jnp.asarray(o_conf), jnp.asarray(o_cls)),
+        (jnp.asarray(n_regr), jnp.asarray(n_conf), jnp.asarray(n_cls)),
+        labels, jnp.asarray(group_rep), jnp.asarray(is_rep),
+        jnp.asarray(qmask), jnp.ones((b, t), bool), cfg)
+
+    for key in ("pos_cls", "neg_cls", "pos_ct", "neg_ct", "regr"):
+        np.testing.assert_allclose(float(ld[key]), float(ld_ref[key]),
+                                   rtol=2e-4, atol=1e-6, err_msg=key)
+    np.testing.assert_allclose(
+        float(total), float(torch.stack(list(ld_ref.values())).sum()),
+        rtol=2e-4)
+
+
 def test_grounding_bf16_compute_close_to_f32():
     """compute_dtype='bfloat16' (bandwidth relief for the conv/attention
     stacks): same params, outputs close to the f32 path."""

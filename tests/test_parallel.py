@@ -51,6 +51,66 @@ def test_sharded_train_step_runs_and_matches_single_device():
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_sharded_grounding_step_matches_single_device():
+    """Data-parallel grounding (stage 2) train step over the 8-device mesh
+    equals the single-device computation."""
+    import jax.numpy as jnp
+    from vidsgg_big_tpu.data.synthetic import make_video
+    from vidsgg_big_tpu.data.types import pack_gt, stack_batches
+    from vidsgg_big_tpu.models.grounding import (GroundingConfig,
+                                                 GroundingModel)
+    from vidsgg_big_tpu.parallel.mesh import make_mesh, shard_batch
+    from vidsgg_big_tpu.train.train_state import (
+        make_optimizer, create_train_state)
+    from vidsgg_big_tpu.train.grounding_steps import (
+        build_grounding_train_step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    b, t = 8, 16
+    rng_np = np.random.default_rng(4)
+    vids = [make_video(20 + i, video_len=48, n_gt_trajs=4, n_preds=6,
+                       num_enti_cats=8, num_pred_cats=10, feat_dim=4)
+            for i in range(b)]
+    gts = stack_batches([pack_gt(g, 6, 64, 8) for _, g in vids])
+    video_len = jnp.asarray([v[1].video_len for v in vids], jnp.int32)
+    n_clips = jnp.asarray(rng_np.integers(t - 4, t + 1, b), jnp.int32)
+    clip_mask = jnp.arange(t)[None, :] < n_clips[:, None]
+    feats = jnp.asarray(rng_np.normal(size=(b, t, 12)), jnp.float32)
+    feats = feats * clip_mask[..., None]
+
+    cfg = GroundingConfig(dim_feat=12, dim_clsme=16, dim_hidden=16,
+                          num_bins=4, num_pred_cats=10, num_enti_cats=8)
+    model = GroundingModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), feats, clip_mask,
+                        jnp.zeros((b, 8, 3), jnp.int32),
+                        jnp.zeros((b, 8, 2), jnp.float32),
+                        jnp.ones((b, 8), bool))
+    tx, _ = make_optimizer(1e-4, 0.2, [100])
+    rng = jax.random.PRNGKey(7)
+
+    state1 = create_train_state(params, tx)
+    step1 = build_grounding_train_step(model, tx, donate=False)
+    state1, m1 = step1(state1, feats, clip_mask, n_clips, gts, video_len,
+                       rng)
+
+    mesh = make_mesh(8)
+    repl = NamedSharding(mesh, P())
+    state8 = jax.device_put(create_train_state(params, tx), repl)
+    step8 = build_grounding_train_step(model, tx, mesh=mesh, donate=False)
+    state8, m8 = step8(state8, *shard_batch(
+        (feats, clip_mask, n_clips, gts, video_len), mesh), rng)
+
+    assert np.isfinite(float(m1["total"]))
+    np.testing.assert_allclose(float(m1["total"]), float(m8["total"]),
+                               rtol=1e-4)
+    # atol: zero-init leaves see noise-level gradients, where Adam's
+    # rsqrt(v) amplifies f32 reduction-order differences on step 1
+    for a, c in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-3, atol=5e-5)
+
+
 def test_milestone_schedule():
     from vidsgg_big_tpu.train.train_state import milestone_schedule
     s = milestone_schedule(1e-4, 0.2, [10, 20])

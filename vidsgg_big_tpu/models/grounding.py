@@ -145,8 +145,8 @@ class QANetEncoderLayer(nn.Module):
     kernel_size: int
     dropout: float = 0.1
     attn_dropout: float = 0.1          # on the attention weights (ref :0.1)
-    use_flash: bool = False
-    attn_bytes_budget: int = 1 << 30   # chunk the time attention above this
+    attn_bytes_budget: int = 1 << 30   # logits bigger than this never
+    #                                    materialize (Pallas / chunking)
     dtype: Optional[jnp.dtype] = None  # compute dtype (norms/softmax in f32)
 
     @nn.compact
@@ -186,36 +186,28 @@ class QANetEncoderLayer(nn.Module):
         qh, kh, vh = dense("attn_q")(out), dense("attn_k")(out), \
             dense("attn_v")(out)
         # Long clip sequences: the (B, h, T, T) attention tensor is the
-        # grounding stage's memory/time bound.  Three lowerings:
-        #   * direct XLA einsum (default; fastest at paper shapes)
+        # grounding stage's memory/time bound.  Two lowerings:
+        #   * direct XLA einsum (default; fastest at small shapes)
         #   * chunked exact attention: when the materialized logits would
         #     exceed ~1 GB (e.g. the B x Q flattened combined encoder at
         #     Q=256, T=512), the batch axis is processed in lax.map blocks —
         #     identical numerics, bounded memory.  At training the chunks are
         #     rematerialized (backward recomputes each block's attention) and
         #     attention dropout is drawn per chunk from a split rng, so
-        #     worst-case grounding *training* shapes stay bounded too
-        #   * Pallas flash attention (opt-in use_flash; measured slower than
-        #     XLA at this model's head_dim=16, kept for very long T)
-        use_flash = (self.use_flash and t % 128 == 0 and t >= 256
-                     and deterministic and jax.default_backend() != "cpu")
+        #     worst-case grounding *training* shapes stay bounded too.
+        # Pallas alternatives were measured and rejected at this model's
+        # head_dim=16: the stock flash kernel pads the head axis 8x (~2x
+        # slower than chunked), and three custom tiny-head formulations hit
+        # a Mosaic pathology (100-540 s kernel compiles, 8-15x slower than
+        # the chunked XLA lowering at (B*Q=1024, h=8, T=512)) — see
+        # docs/ROUND2.md "Pallas tiny-head attention postmortem".
         attn_bytes = 4 * b * h * t * t
         chunk = b
         while chunk * h * t * t * 4 > self.attn_bytes_budget and \
                 chunk % 2 == 0:
             chunk //= 2
         drop = (not deterministic) and self.attn_dropout > 0.0
-        if use_flash:
-            from jax.experimental.pallas.ops.tpu.flash_attention import (
-                flash_attention, SegmentIds)
-            seg = (mask.astype(jnp.int32) if mask is not None
-                   else jnp.ones((b, t), jnp.int32))
-            o = flash_attention(
-                qh.swapaxes(1, 2), kh.swapaxes(1, 2), vh.swapaxes(1, 2),
-                segment_ids=SegmentIds(seg, seg),
-                sm_scale=1.0 / float(np.sqrt(hd)))
-            out = o.swapaxes(1, 2)                           # (B, T, h, hd)
-        elif chunk < b and attn_bytes > self.attn_bytes_budget:
+        if chunk < b and attn_bytes > self.attn_bytes_budget:
             m = mask if mask is not None else jnp.ones((b, t), bool)
             n_blk = b // chunk
 
