@@ -237,8 +237,21 @@ def bench_reference(recs):
 
 def main():
     import os
+    t_start = time.perf_counter()
+    # persistent compile cache: cold bench runs pay ~60-300 s per jitted
+    # program through the axon compile helper; repeat runs then hit disk
+    from vidsgg_big_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+    # Cold-compile runs can take minutes per stage; never let an extra stage
+    # push past the harness budget without printing the headline JSON.
+    budget = float(os.environ.get("VIDSGG_BENCH_BUDGET", 1500))
+    left = lambda: budget - (time.perf_counter() - t_start)
+    stage = lambda name: print(
+        f"[bench +{time.perf_counter() - t_start:.0f}s] {name}",
+        file=sys.stderr, flush=True)
     recs = make_records(max(BATCH, N_REF_VIDEOS))
     trace_dir = os.environ.get("VIDSGG_PROFILE_DIR")
+    stage("BIG-C inference")
     if trace_dir:
         import jax
         with jax.profiler.trace(trace_dir):
@@ -248,22 +261,37 @@ def main():
         ours, ours_i8 = bench_ours(recs)
     extra = {"infer_int8_feats_videos_per_sec": round(ours_i8, 1)}
     try:
+        if left() < 400:
+            raise TimeoutError(f"{left():.0f}s left")
+        stage("train step")
         train_ms, train_vs = bench_train(recs)
         extra["train_step_ms"] = round(train_ms, 2)
         extra["train_videos_per_sec"] = round(train_vs, 1)
     except Exception as e:
-        print(f"train bench failed: {e!r}", file=sys.stderr)
+        print(f"train bench skipped/failed: {e!r}", file=sys.stderr)
     try:
+        if left() < 300:
+            raise TimeoutError(f"{left():.0f}s left")
+        stage("grounding inference")
         extra["grounding_infer_ms_per_video_q256_t512"] = round(
             bench_grounding(), 2)
     except Exception as e:
-        print(f"grounding bench failed: {e!r}", file=sys.stderr)
+        print(f"grounding bench skipped/failed: {e!r}", file=sys.stderr)
     try:
+        if left() < 120:
+            raise TimeoutError(f"{left():.0f}s left")
+        stage("torch reference")
         ref = bench_reference(recs)
     except Exception as e:
-        print(f"reference baseline failed: {e!r}", file=sys.stderr)
+        print(f"reference baseline skipped/failed: {e!r}", file=sys.stderr)
         ref = None
-    vs = (ours / ref) if ref else 0.0
+    if not ref:
+        # fall back to the round-1 measured torch-CPU rate (BENCH_r01.json:
+        # 998.7 v/s at 1373.9x => 0.727 v/s) so a skipped re-measurement
+        # doesn't zero the ratio; label the provenance
+        ref = 0.727
+        extra["vs_baseline_note"] = "reference rate cached from round-1 run"
+    vs = ours / ref
     print(json.dumps({
         "metric": "BIG-C relation inference throughput (N=50,T=256,"
                   "RoI2048+I3D832,Q=192; vs reference PyTorch on host CPU)",

@@ -6,6 +6,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
+from vidsgg_big_tpu.utils.compile_cache import (  # noqa: E402
+    enable_compilation_cache)
+
+# every CLI driver pays multi-minute cold jit compiles without this
+enable_compilation_cache()
+
 
 def load_tables(model_config, num_enti, num_pred, dim_clsme=300):
     """Load EntiNameEmb / bias matrix / PredNameEmb from the configured .npy
