@@ -1,5 +1,10 @@
 """Temporal action-detection mAP (reference
-VidVRD-helper/evaluation/action_detection.py:6-123)."""
+VidVRD-helper/evaluation/action_detection.py:6-123).
+
+Provenance note: tracks the public challenge-eval toolkit's bookkeeping
+closely on purpose — bit-identical metrics are the contract (see
+evaluation/metrics.py).
+"""
 from __future__ import annotations
 
 import numpy as np

@@ -7,6 +7,13 @@ triplet names, min(sub, obj) vIoU >= threshold) in descending score order,
 VOC AP averaged over videos (mAP), dataset-level Recall@K by global score
 sort, and tagging Precision@K — with the per-frame python vIoU loop replaced
 by vectorized numpy and per-pair memoization (the eval hot spot).
+
+Provenance note: this module deliberately tracks the *public challenge
+evaluation protocol* (the ImageNet-VidVRD / VidOR toolkit, itself derived
+from py-faster-rcnn's ``voc_ap``) closely, including bookkeeping structure
+and variable naming, because bit-identical metric values against that
+toolkit are the correctness contract (tests/test_eval.py asserts it).  Only
+the hot paths (vIoU, per-prediction GT scans) are restructured.
 """
 from __future__ import annotations
 

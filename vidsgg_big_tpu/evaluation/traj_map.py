@@ -3,6 +3,10 @@
 Behavior-parity with reference VidVRDhelperEvalAPIs/video_object_detection.py
 (3-threshold temporal IoU overlap, VOC-07 AP by default) plus the converters
 from reference tools/eval_traj_mAP.py:17-132.
+
+Provenance note: tracks the public challenge-eval toolkit's bookkeeping
+closely on purpose — bit-identical metrics are the contract (see
+evaluation/metrics.py).
 """
 from __future__ import annotations
 
