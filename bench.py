@@ -166,6 +166,43 @@ def bench_grounding():
     return dt / b * 1000.0                                  # ms/video
 
 
+def bench_vidor():
+    """BIG-C v7 inference at the VidOR exp4 geometry: N=180 proposals,
+    T=512 bucket, RoI(1024)+classeme(300) features, 81/51 vocab."""
+    import jax
+    import ml_dtypes
+    from vidsgg_big_tpu.data.synthetic import make_video
+    from vidsgg_big_tpu.data.types import pack_proposal, stack_batches
+    from vidsgg_big_tpu.models import BigC, BigCConfig
+    from vidsgg_big_tpu.train.steps import build_infer_step
+
+    cfg = BigCConfig(
+        num_pred_cats=51, num_enti_cats=81, dim_feat=1024, dim_clsme=300,
+        dim_enti=512, dim_pred=512, dim_att=512, dim_ffn=512, dim_i3d=None,
+        enco_pool_len=4, n_enco_layers=2, n_deco_layers=6, n_att_head=8,
+        num_querys=192, compute_dtype="bfloat16", variant="v7",
+        use_clsme=True, use_name_emb=False)
+    model = BigC(cfg, enti_name_emb=np.zeros((81, 300), np.float32))
+    feat_total = 1024 + 300
+    recs = [make_video(i, video_len=1000, n_gt_trajs=12, n_preds=16,
+                       n_distractors=60, feat_dim=feat_total,
+                       num_enti_cats=81, num_pred_cats=51)[0]
+            for i in range(BATCH)]
+    batch = stack_batches([
+        pack_proposal(r, 180, 512, feat_total, dtype=ml_dtypes.bfloat16)
+        for r in recs])
+    params = model.init(jax.random.PRNGKey(0), batch)
+    infer = build_infer_step(model, topk=10)
+    float(np.asarray(infer(params, batch).scores).sum())   # compile+warm
+    n = max(N_TIMED // 2, 1)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = infer(params, batch)
+    float(np.asarray(out.scores).sum())
+    return BATCH * n / (time.perf_counter() - t0)
+
+
 def bench_reference(recs):
     """Reference BIG-C (_forward_test) on torch CPU, same workload."""
     import torch
@@ -277,6 +314,14 @@ def main():
             bench_grounding(), 2)
     except Exception as e:
         print(f"grounding bench skipped/failed: {e!r}", file=sys.stderr)
+    try:
+        if left() < 250:
+            raise TimeoutError(f"{left():.0f}s left")
+        stage("VidOR-geometry inference")
+        extra["infer_vidor_n180_t512_videos_per_sec"] = round(
+            bench_vidor(), 1)
+    except Exception as e:
+        print(f"vidor bench skipped/failed: {e!r}", file=sys.stderr)
     try:
         if left() < 120:
             raise TimeoutError(f"{left():.0f}s left")
