@@ -33,9 +33,13 @@ def load_tables(model_config, num_enti, num_pred, dim_clsme=300):
 
 
 def make_dataset(dataset_config, dataset_type, synthetic=0, synthetic_root=None,
-                 fmt=None):
+                 fmt=None, dim_feat=None, dim_i3d=None):
     """Build the dataset; with --synthetic N, first write a synthetic split in
-    the reference layout and point the config at it."""
+    the reference layout and point the config at it.
+
+    ``dim_feat``/``dim_i3d`` size the synthetic features (pass the model
+    config's dims to drive a full-size model end-to-end on synthetic data;
+    defaults stay small for smoke tests)."""
     from vidsgg_big_tpu.data.dataset import VidVRDDataset, VidORDataset
     from vidsgg_big_tpu.data import synthetic_raw
 
@@ -43,13 +47,19 @@ def make_dataset(dataset_config, dataset_type, synthetic=0, synthetic_root=None,
     if synthetic:
         root = synthetic_root or os.path.join("datasets", "synthetic")
         os.makedirs(root, exist_ok=True)
+        dims = {}
+        if dim_feat:
+            dims["dim_feat"] = dim_feat
         if dataset_type == "vidvrd":
+            if dim_i3d:
+                dims["dim_i3d"] = dim_i3d
             cfg = synthetic_raw.write_synthetic_vidvrd(
                 root, n_videos=synthetic, split=cfg.get("split", "test"),
-                fmt=fmt or cfg.get("fmt", "pku_i3d"))
+                fmt=fmt or cfg.get("fmt", "pku_i3d"), **dims)
         else:
             cfg = synthetic_raw.write_synthetic_vidor(
-                root, n_videos=synthetic, split=cfg.get("split", "val"))
+                root, n_videos=synthetic, split=cfg.get("split", "val"),
+                **dims)
     if dataset_type == "vidvrd":
         if fmt and not synthetic:
             cfg["fmt"] = fmt

@@ -41,6 +41,8 @@ def _load_params(model, example, ckpt_path, bias=None, seed=0):
 def evaluate_cls_stage(args, logger, all_cfgs):
     """Stage A: BIG-C (or Base-C) inference -> per-video triplet tuples."""
     model_config = all_cfgs["model_config"]
+    if args.compute_dtype:
+        model_config = dict(model_config, compute_dtype=args.compute_dtype)
     infer_config = all_cfgs.get("inference_config", {})
     topk = args.topk or infer_config.get("topk", 10)
     dataset, _ = make_dataset(all_cfgs["test_dataset_config"], "vidor",
@@ -97,8 +99,11 @@ def evaluate_cls_stage(args, logger, all_cfgs):
         params = jax.device_put(params, replicated(mesh))
         logger.info(f"data-parallel stage-A inference over {mesh}")
     infer_results = {}
-    for key, brows, props, _ in bucketed_batches(rows, spec, args.batch_size,
-                                                 with_gt=False):
+    from vidsgg_big_tpu.data.prefetch import prefetch
+    batches = prefetch(
+        bucketed_batches(rows, spec, args.batch_size, with_gt=False),
+        size=2, device_put=False)   # overlap packing with infer (axon: device_put off the main thread stalls the tunnel)
+    for key, brows, props, _ in batches:
         if mesh is not None:
             props = shard_batch(props, mesh)
         trip = jax.device_get(infer(params, props))
@@ -155,7 +160,10 @@ def evaluate_combined(args, logger, all_cfgs, infer_results, rows,
     bins (reference tools/eval_vidor.py:141-280) — batched per (Q, T) shape
     bucket instead of the reference's per-video loop."""
     grd_cfgs = parse_config_py(args.grounding_cfg_path)
-    gcfg = GroundingConfig.from_dict(grd_cfgs["model_config"])
+    gmc = grd_cfgs["model_config"]
+    if args.compute_dtype:
+        gmc = dict(gmc, compute_dtype=args.compute_dtype)
+    gcfg = GroundingConfig.from_dict(gmc)
     ginfer_cfg = grd_cfgs.get("inference_config", {})
     model = GroundingModel(gcfg)
 
@@ -316,4 +324,8 @@ if __name__ == "__main__":
                         help="feature storage dtype (int8: quantized serving path)")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic_root", type=str, default=None)
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        choices=("float32", "bfloat16"),
+                        help="override the model compute dtype for both "
+                             "stages (config key compute_dtype)")
     main(parser.parse_args())

@@ -42,12 +42,17 @@ def inference_then_eval(args):
             json_results_path=args.json_results_path,
             gt_relations_path=args.gt_json)
 
+    dims = ({"dim_feat": model_config["dim_feat"],
+             "dim_i3d": model_config.get("dim_i3d")}
+            if args.synthetic_model_dims else {})
     dataset, _ = make_dataset(
         all_cfgs["test_dataset_config"], "vidvrd",
         synthetic=args.synthetic, synthetic_root=args.synthetic_root,
-        fmt="pku_i3d" if args.use_pku else args.fmt)
+        fmt="pku_i3d" if args.use_pku else args.fmt, **dims)
     logger.info(f"dataset: {len(dataset)} videos")
 
+    if args.compute_dtype:
+        model_config = dict(model_config, compute_dtype=args.compute_dtype)
     cfg = BigCConfig.from_dict(model_config, variant="v10")
     enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
                                     cfg.num_pred_cats, cfg.dim_clsme)
@@ -80,8 +85,11 @@ def inference_then_eval(args):
     predict_relations = {}
     infer_results = {}
     logger.info("start inference...")
-    for key, rows, props, _ in bucketed_batches(items, spec, args.batch_size,
-                                                with_gt=False):
+    from vidsgg_big_tpu.data.prefetch import prefetch
+    batches = prefetch(
+        bucketed_batches(items, spec, args.batch_size, with_gt=False),
+        size=2, device_put=False)   # overlap packing with infer (axon: device_put off the main thread stalls the tunnel)
+    for key, rows, props, _ in batches:
         if mesh is not None:
             from vidsgg_big_tpu.parallel.mesh import shard_batch
             props = shard_batch(props, mesh)
@@ -146,4 +154,11 @@ if __name__ == "__main__":
                         help="feature storage dtype (int8: quantized serving path)")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic_root", type=str, default=None)
+    parser.add_argument("--synthetic_model_dims", action="store_true",
+                        help="write synthetic features at the model "
+                             "config's dims (full-size end-to-end runs)")
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        choices=("float32", "bfloat16"),
+                        help="override the model compute dtype "
+                             "(config key compute_dtype)")
     inference_then_eval(parser.parse_args())

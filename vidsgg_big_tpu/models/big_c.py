@@ -99,6 +99,7 @@ class BigCConfig:
             cost_coeff_adj=d.get("cost_coeff_dict", {}).get("adj_matrix", 30.0),
             loss_coeff_cls=d.get("loss_coeff_dict", {}).get("classification", 1.0),
             loss_coeff_adj=d.get("loss_coeff_dict", {}).get("adj_matrix", 30.0),
+            compute_dtype=d.get("compute_dtype", "float32"),
         )
 
 
