@@ -102,7 +102,7 @@ def evaluate_cls_stage(args, logger, all_cfgs):
     from vidsgg_big_tpu.data.prefetch import prefetch
     batches = prefetch(
         bucketed_batches(rows, spec, args.batch_size, with_gt=False),
-        size=2, device_put=False)   # overlap packing with infer (axon: device_put off the main thread stalls the tunnel)
+        size=2, device_put=mesh is None)  # overlap pack (+H2D off-axon)
     for key, brows, props, _ in batches:
         if mesh is not None:
             props = shard_batch(props, mesh)

@@ -88,7 +88,7 @@ def inference_then_eval(args):
     from vidsgg_big_tpu.data.prefetch import prefetch
     batches = prefetch(
         bucketed_batches(items, spec, args.batch_size, with_gt=False),
-        size=2, device_put=False)   # overlap packing with infer (axon: device_put off the main thread stalls the tunnel)
+        size=2, device_put=mesh is None)  # overlap pack (+H2D off-axon)
     for key, rows, props, _ in batches:
         if mesh is not None:
             from vidsgg_big_tpu.parallel.mesh import shard_batch
