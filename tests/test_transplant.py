@@ -201,6 +201,71 @@ def test_triplet_parity(reference_bigc, tmp_path):
             assert got[k][2] == qi
 
 
+@pytest.mark.parametrize("use_name_emb", [True, False],
+                         ids=["name_emb", "soft_clsme"])
+def test_basec_forward_parity(reference_utils, tmp_path, use_name_emb):
+    """Base-C pairwise-baseline forward parity via weight transplant
+    (reference models/model_pairwise_baseline.py:174-273)."""
+    import sys
+    import torch
+
+    from vidsgg_big_tpu.models.base_c import (BaseC, BaseCConfig,
+                                              ordered_pair_ids)
+    from vidsgg_big_tpu.models.transplant import basec_params_from_torch
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.model_pairwise_baseline import Base_C
+    finally:
+        sys.path.remove("/root/reference")
+
+    rng = np.random.default_rng(9)
+    dim_feat = 40
+    bias = rng.normal(0, 0.5, (NUM_ENTI, NUM_ENTI, NUM_PRED)).astype(
+        np.float32)
+    emb = rng.normal(0, 1, (NUM_ENTI, DIM_CLSME)).astype(np.float32)
+    np.save(tmp_path / "bias_bc.npy", bias)
+    np.save(tmp_path / "emb_bc.npy", emb)
+    torch.manual_seed(11)
+    ref_cfg = dict(num_pred_cats=NUM_PRED, num_enti_cats=NUM_ENTI,
+                   dim_feat=dim_feat, dim_clsme=DIM_CLSME, dim_enti=32,
+                   dim_ffn=48, enco_pool_len=4, use_clsme=True,
+                   rt_triplets_topk=0, positive_vIoU_th=0.5,
+                   bias_matrix_path=str(tmp_path / "bias_bc.npy"),
+                   EntiNameEmb_path=(str(tmp_path / "emb_bc.npy")
+                                     if use_name_emb else None))
+    tmodel = Base_C(ref_cfg, is_train=False)
+    tmodel.eval()
+
+    cfg = BaseCConfig.from_dict(ref_cfg)
+    assert cfg.use_name_emb == use_name_emb
+    variables, tables = basec_params_from_torch(tmodel.state_dict(), cfg)
+    model = BaseC(cfg, enti_name_emb=tables["enti_name_emb"])
+
+    feat_total = dim_feat + (0 if use_name_emb else DIM_CLSME)
+    vids = _videos(feat_total)
+    batch = stack_batches(
+        [pack_proposal(p, N_BUCKET, T, feat_total) for p, _ in vids])
+    out = model.apply(variables, batch)
+
+    for i, (p, _) in enumerate(vids):
+        n = p.num_proposals
+        with torch.no_grad():
+            pair_ids_t = tmodel.trajid2pairid(n)
+            logits_ref = tmodel.forward_propagation(
+                _duck_proposal(p), pair_ids_t)
+        # our fixed-shape pair enumeration covers N_BUCKET trajs; select the
+        # rows whose (sub, obj) are both real and match the reference order
+        pids = np.asarray(ordered_pair_ids(N_BUCKET))
+        keep = (pids[:, 0] < n) & (pids[:, 1] < n)
+        ours = np.asarray(out["pred_logits"][i])[keep]
+        order_ref = pair_ids_t.numpy()
+        # both enumerations are row-major over (i, j) i != j -> same order
+        np.testing.assert_array_equal(pids[keep], order_ref)
+        np.testing.assert_allclose(ours, logits_ref.numpy(),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_grounding_forward_parity(reference_utils, tmp_path):
     """Whole grounding-model (DEBUG) forward parity via weight transplant.
 
@@ -270,6 +335,76 @@ def test_grounding_forward_parity(reference_utils, tmp_path):
                                rtol=5e-4, atol=5e-4)
     np.testing.assert_allclose(np.asarray(cls[0]), cls_r.numpy(),
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("case", [0, 2], ids=["v10_i3d", "v7_emb"])
+def test_convert_checkpoint_cli_roundtrip(reference_bigc, tmp_path, case):
+    """tools/convert_checkpoint.py: reference .pth (DataParallel prefixes +
+    training-dict wrapper) -> orbax checkpoint + tables.npz; the restored
+    params equal the direct transplant bit-for-bit (v7 also carries its
+    frozen random pos-embedding table out through tables.npz)."""
+    import argparse
+    import os
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from vidsgg_big_tpu.models.transplant import strip_module_prefix
+    from vidsgg_big_tpu.train.train_state import (
+        make_optimizer, create_train_state, load_checkpoint)
+
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    sys.path.insert(0, tools)
+    try:
+        import convert_checkpoint as cc
+    finally:
+        sys.path.remove(tools)
+
+    variant, kw = CASES[case]                    # v10+i3d or v7+name-emb
+    tmodel = _torch_model(reference_bigc, tmp_path, variant, **kw)
+    sd = {"module." + k: v for k, v in tmodel.state_dict().items()}
+    pth = tmp_path / "ref_epoch3.pth"
+    torch.save({"model_state_dict": sd, "crt_epoch": 3, "batch_size": 4},
+               pth)
+    i3d = ", dim_i3d=8" if kw.get("dim_i3d") else ""
+    emb = (f", EntiNameEmb_path={str(tmp_path / 'emb.npy')!r}"
+           if variant == "v7" else "")
+    if variant == "v7":
+        np.save(tmp_path / "emb.npy",
+                np.zeros((NUM_ENTI, DIM_CLSME), np.float32))
+    cfgf = tmp_path / "config_.py"
+    cfgf.write_text(
+        f"model_config = dict(num_pred_cats={NUM_PRED}, "
+        f"num_enti_cats={NUM_ENTI}, dim_feat=40, dim_clsme={DIM_CLSME}, "
+        "dim_enti=32, dim_pred=32, dim_att=32, dim_ffn=48, "
+        "enco_pool_len=4, n_enco_layers=2, n_deco_layers=2, n_att_head=4, "
+        f"num_querys=12, use_clsme=True{i3d}{emb})\n")
+    out = tmp_path / "converted"
+    cc.convert(argparse.Namespace(
+        torch_ckpt=str(pth), cfg_path=str(cfgf),
+        model="bigc_vidvrd" if variant == "v10" else "bigc_vidor",
+        out=str(out), legacy_keys=False))
+
+    cfg = _flax_cfg(variant, **kw)
+    variables, tables = bigc_params_from_torch(
+        strip_module_prefix(sd), cfg)
+    tx, _ = make_optimizer(1e-4, 0.2, [1])
+    template = create_train_state(
+        jax.tree_util.tree_map(jnp.zeros_like, variables), tx)
+    state, step = load_checkpoint(str(out), template)
+    assert step == 0
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t = np.load(out / "tables.npz")
+    np.testing.assert_array_equal(t["enti_name_emb"],
+                                  tables["enti_name_emb"])
+    if variant == "v7":
+        np.testing.assert_array_equal(t["pos_emb_table"],
+                                      tables["pos_emb_table"])
 
 
 @pytest.mark.parametrize("variant,kw", [CASES[0], CASES[2]],

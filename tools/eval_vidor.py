@@ -56,10 +56,20 @@ def evaluate_cls_stage(args, logger, all_cfgs):
     spec = BucketSpec(feat_dim=feat_dim, n_ladder=(8, 16, 32, 64, 128, 192),
                       feat_dtype=args.feat_dtype)
 
+    pos_tab = None
+    enti_override = None
+    if args.tables_path:       # converted-checkpoint side tables
+        t = np.load(args.tables_path)
+        enti_override = (t["enti_name_emb"] if "enti_name_emb" in t
+                         else None)
+        pos_tab = t["pos_emb_table"] if "pos_emb_table" in t else None
+
     if args.use_baseline:
         cfg = BaseCConfig.from_dict(model_config)
         enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
                                         cfg.num_pred_cats, cfg.dim_clsme)
+        if enti_override is not None:
+            enti_emb = enti_override
         model = BaseC(cfg, enti_name_emb=enti_emb)
         first = next(iter(bucketed_batches(rows, spec, 1, with_gt=False)))
         params = _load_params(model, first[2], args.ckpt_path, bias)
@@ -83,8 +93,11 @@ def evaluate_cls_stage(args, logger, all_cfgs):
         cfg = BigCConfig.from_dict(model_config, variant="v7")
         enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
                                         cfg.num_pred_cats, cfg.dim_clsme)
+        if enti_override is not None:
+            enti_emb = enti_override
         model = BigC(cfg, enti_name_emb=enti_emb
-                     if cfg.use_name_emb else None)
+                     if cfg.use_name_emb else None,
+                     pos_emb_table=pos_tab)
         first = next(iter(bucketed_batches(rows, spec, 1, with_gt=False)))
         params = _load_params(model, first[2], args.ckpt_path, bias)
         infer = build_infer_step(model, topk=topk)
@@ -328,4 +341,7 @@ if __name__ == "__main__":
                         choices=("float32", "bfloat16"),
                         help="override the model compute dtype for both "
                              "stages (config key compute_dtype)")
+    parser.add_argument("--tables_path", type=str, default=None,
+                        help="tables.npz from tools/convert_checkpoint.py "
+                             "(frozen EntiNameEmb / pos-emb table)")
     main(parser.parse_args())

@@ -56,7 +56,13 @@ def inference_then_eval(args):
     cfg = BigCConfig.from_dict(model_config, variant="v10")
     enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
                                     cfg.num_pred_cats, cfg.dim_clsme)
-    model = BigC(cfg, enti_name_emb=enti_emb)
+    pos_tab = None
+    if args.tables_path:       # converted-checkpoint side tables
+        import numpy as np
+        t = np.load(args.tables_path)
+        enti_emb = t["enti_name_emb"] if "enti_name_emb" in t else enti_emb
+        pos_tab = t["pos_emb_table"] if "pos_emb_table" in t else None
+    model = BigC(cfg, enti_name_emb=enti_emb, pos_emb_table=pos_tab)
     items = list(dataset)
     feat_dim = items[0][0].features[0].shape[1]
     spec = BucketSpec(feat_dim=feat_dim,
@@ -161,4 +167,7 @@ if __name__ == "__main__":
                         choices=("float32", "bfloat16"),
                         help="override the model compute dtype "
                              "(config key compute_dtype)")
+    parser.add_argument("--tables_path", type=str, default=None,
+                        help="tables.npz from tools/convert_checkpoint.py "
+                             "(frozen EntiNameEmb / pos-emb table)")
     inference_then_eval(parser.parse_args())

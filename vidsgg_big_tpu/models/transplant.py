@@ -148,6 +148,33 @@ def bigc_params_from_torch(state_dict, cfg):
     return {"params": p}, tables
 
 
+def basec_params_from_torch(state_dict, cfg):
+    """Build the flax ``{"params": ...}`` tree of :class:`BaseC` from a torch
+    reference ``Base_C`` state_dict (reference
+    models/model_pairwise_baseline.py:8-98).  Shares the tracklet-encoder
+    layout (and its channel-major pooled-flatten quirk) with BIG-C.
+
+    Returns (variables, tables) like :func:`bigc_params_from_torch`.
+    """
+    sd = dict(state_dict)
+    p = {
+        "tracklet_encoder": {
+            "fc_bbox2enti": _mlp(sd, "fc_bbox2enti", (0, 2)),
+            "fc_feat2enti": _mlp(sd, "fc_feat2enti", (0, 2)),
+            "conv_feat2enti": {
+                "kernel": _np(sd["conv_feat2enti.weight"]).transpose(2, 1, 0),
+                "bias": _np(sd["conv_feat2enti.bias"]),
+            },
+            "fc_enti2enco": _enti2enco(sd, cfg),
+        },
+        "bias_matrix": _np(sd["bias_matrix"]),
+        "fc_pred2logits": _mlp(sd, "fc_pred2logits", (0, 2)),
+    }
+    tables = {"enti_name_emb": _np(sd["EntiNameEmb"])
+              if "EntiNameEmb" in sd else None}
+    return {"params": p}, tables
+
+
 def _dwconv(sd, prefix):
     """torch DepthWiseSeparableConv1d -> flax DepthwiseSeparableConv.
 
