@@ -407,6 +407,37 @@ def test_convert_checkpoint_cli_roundtrip(reference_bigc, tmp_path, case):
                                       tables["pos_emb_table"])
 
 
+def test_legacy_key_migration():
+    """Historical reference key scheme -> released scheme (reference
+    tools/eval_vidvrd_our_gt.py:186-207)."""
+    import os
+    import sys
+
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    sys.path.insert(0, tools)
+    try:
+        from convert_checkpoint import replace_legacy_keys
+    finally:
+        sys.path.remove(tools)
+
+    old = {
+        "pred_nodes_init": 1,
+        "decoder_layers.0.fc_msg_recv.0.0.weight": 2,
+        "fc_enti2enco.layers.0.weight": 3,
+        "fc_pred2logits.0.weight": 4,
+        "encoder_layers.0.linear1.weight": 5,
+    }
+    new = replace_legacy_keys(old)
+    assert new == {
+        "pred_query_init": 1,
+        "decoder_layers.0.fc_rolewise.0.0.weight": 2,
+        "fc_enti2enco.0.weight": 3,
+        "fc_pred2logits.weight": 4,
+        "encoder_layers.0.linear1.weight": 5,
+    }
+
+
 @pytest.mark.parametrize("variant,kw", [CASES[0], CASES[2]],
                          ids=["v10_i3d", "v7_emb"])
 def test_train_loss_parity(reference_bigc, tmp_path, variant, kw):
