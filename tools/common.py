@@ -32,6 +32,18 @@ def load_tables(model_config, num_enti, num_pred, dim_clsme=300):
     return enti_emb, bias, pred_emb
 
 
+def load_side_tables(tables_path, enti_emb=None):
+    """``tables.npz`` written by tools/convert_checkpoint.py ->
+    (enti_name_emb override, pos_emb_table or None)."""
+    if not tables_path:
+        return enti_emb, None
+    t = np.load(tables_path)
+    if "enti_name_emb" in t:
+        enti_emb = t["enti_name_emb"]
+    pos = t["pos_emb_table"] if "pos_emb_table" in t else None
+    return enti_emb, pos
+
+
 def make_dataset(dataset_config, dataset_type, synthetic=0, synthetic_root=None,
                  fmt=None, dim_feat=None, dim_i3d=None):
     """Build the dataset; with --synthetic N, first write a synthetic split in

@@ -8,7 +8,7 @@ import pickle
 import numpy as np
 import jax
 
-from common import make_dataset, load_tables
+from common import make_dataset, load_tables, load_side_tables
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger
 from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
@@ -56,13 +56,7 @@ def evaluate_cls_stage(args, logger, all_cfgs):
     spec = BucketSpec(feat_dim=feat_dim, n_ladder=(8, 16, 32, 64, 128, 192),
                       feat_dtype=args.feat_dtype)
 
-    pos_tab = None
-    enti_override = None
-    if args.tables_path:       # converted-checkpoint side tables
-        t = np.load(args.tables_path)
-        enti_override = (t["enti_name_emb"] if "enti_name_emb" in t
-                         else None)
-        pos_tab = t["pos_emb_table"] if "pos_emb_table" in t else None
+    enti_override, pos_tab = load_side_tables(args.tables_path)
 
     if args.use_baseline:
         cfg = BaseCConfig.from_dict(model_config)

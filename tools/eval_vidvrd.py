@@ -12,7 +12,7 @@ import pickle
 
 import jax
 
-from common import make_dataset, load_tables
+from common import make_dataset, load_tables, load_side_tables
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger
 from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
@@ -56,12 +56,7 @@ def inference_then_eval(args):
     cfg = BigCConfig.from_dict(model_config, variant="v10")
     enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
                                     cfg.num_pred_cats, cfg.dim_clsme)
-    pos_tab = None
-    if args.tables_path:       # converted-checkpoint side tables
-        import numpy as np
-        t = np.load(args.tables_path)
-        enti_emb = t["enti_name_emb"] if "enti_name_emb" in t else enti_emb
-        pos_tab = t["pos_emb_table"] if "pos_emb_table" in t else None
+    enti_emb, pos_tab = load_side_tables(args.tables_path, enti_emb)
     model = BigC(cfg, enti_name_emb=enti_emb, pos_emb_table=pos_tab)
     items = list(dataset)
     feat_dim = items[0][0].features[0].shape[1]

@@ -11,7 +11,7 @@ import time
 import numpy as np
 import jax
 
-from common import make_dataset, load_tables
+from common import make_dataset, load_tables, load_side_tables
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger, MetricWriter
 from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
@@ -45,7 +45,9 @@ def train(args):
     cfg = BigCConfig.from_dict(model_config, variant="v10")
     enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
                                     cfg.num_pred_cats, cfg.dim_clsme)
-    model = BigC(cfg, enti_name_emb=enti_emb)
+    enti_emb, pos_tab = load_side_tables(
+        getattr(args, "tables_path", None), enti_emb)
+    model = BigC(cfg, enti_name_emb=enti_emb, pos_emb_table=pos_tab)
 
     batch_size = args.batch_size or train_config["batch_size"]
     total_epoch = args.epochs or train_config["total_epoch"]
@@ -129,6 +131,8 @@ if __name__ == "__main__":
     parser.add_argument("--ckpt_every", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_parallel", action="store_true")
+    parser.add_argument("--tables_path", type=str, default=None,
+                        help="tables.npz from tools/convert_checkpoint.py")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic_root", type=str, default=None)
     train(parser.parse_args())
