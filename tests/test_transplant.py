@@ -407,6 +407,64 @@ def test_convert_checkpoint_cli_roundtrip(reference_bigc, tmp_path, case):
                                       tables["pos_emb_table"])
 
 
+def test_converted_checkpoint_drives_eval_cli(reference_bigc, tmp_path):
+    """The migration user story end-to-end: reference .pth -> converter ->
+    eval_vidvrd --ckpt_path/--tables_path runs inference + metrics."""
+    import argparse
+    import os
+    import sys
+
+    import torch
+
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    repo = os.path.dirname(tools)
+    sys.path.insert(0, tools)
+    try:
+        import convert_checkpoint as cc
+        import eval_vidvrd
+    finally:
+        sys.path.remove(tools)
+
+    # torch reference at the demo config's dims (synthetic-writer defaults)
+    rng = np.random.default_rng(21)
+    np.save(tmp_path / "emb36.npy",
+            rng.normal(0, 1, (36, 300)).astype(np.float32))
+    np.save(tmp_path / "bias36.npy",
+            rng.normal(0, 0.2, (36, 36, 133)).astype(np.float32))
+    cfgd = dict(num_enti_cats=36, num_pred_cats=133, dim_ffn=64, dim_enti=64,
+                dim_pred=64, dim_att=64, dim_feat=64, dim_clsme=300,
+                dim_i3d=16, enco_pool_len=4, n_enco_layers=1,
+                n_deco_layers=2, n_att_head=4, num_querys=48, neg_weight=0.1,
+                positive_vIoU_th=0.5,
+                EntiNameEmb_path=str(tmp_path / "emb36.npy"),
+                bias_matrix_path=str(tmp_path / "bias36.npy"),
+                cost_coeff_dict=dict(classification=1.0, adj_matrix=30.0),
+                loss_coeff_dict=dict(classification=1.0, adj_matrix=30.0))
+    torch.manual_seed(5)
+    tmodel = reference_bigc["v10"](cfgd, is_train=False)
+    pth = tmp_path / "ref.pth"
+    torch.save(tmodel.state_dict(), pth)
+
+    demo_cfg = os.path.join(repo, "experiments", "demo", "config_.py")
+    out = tmp_path / "converted"
+    cc.convert(argparse.Namespace(
+        torch_ckpt=str(pth), cfg_path=demo_cfg, model="bigc_vidvrd",
+        out=str(out), legacy_keys=False))
+
+    res = eval_vidvrd.inference_then_eval(argparse.Namespace(
+        cfg_path=demo_cfg, ckpt_path=str(out),
+        tables_path=str(out / "tables.npz"), use_pku=True, fmt="pku_i3d",
+        save_tag="cvt", output_dir=str(tmp_path), topk=3, batch_size=2,
+        gt_json=None, json_results_path=None, save_infer_result=False,
+        save_json_results=False, data_parallel=False, feat_dtype="float32",
+        synthetic=3, synthetic_root=str(tmp_path / "syn"),
+        synthetic_model_dims=False, compute_dtype=None))
+    mean_ap, rec_at_n, mprec_at_n = res
+    assert np.isfinite(mean_ap)
+    assert set(rec_at_n) == {50, 100}
+
+
 def test_legacy_key_migration():
     """Historical reference key scheme -> released scheme (reference
     tools/eval_vidvrd_our_gt.py:186-207)."""
