@@ -36,12 +36,17 @@ def train(args):
     logger.info(f"model_config: {model_config}")
     logger.info(f"train_config: {train_config}")
 
+    dims = ({"dim_feat": model_config["dim_feat"],
+             "dim_i3d": model_config.get("dim_i3d")}
+            if getattr(args, "synthetic_model_dims", False) else {})
     dataset, ds_cfg = make_dataset(
         all_cfgs["train_dataset_config"], "vidvrd",
         synthetic=args.synthetic, synthetic_root=args.synthetic_root,
-        fmt="pku_i3d" if args.use_pku else args.fmt)
+        fmt="pku_i3d" if args.use_pku else args.fmt, **dims)
     logger.info(f"dataset: {len(dataset)} videos")
 
+    if getattr(args, "compute_dtype", None):
+        model_config = dict(model_config, compute_dtype=args.compute_dtype)
     cfg = BigCConfig.from_dict(model_config, variant="v10")
     enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
                                     cfg.num_pred_cats, cfg.dim_clsme)
@@ -135,4 +140,10 @@ if __name__ == "__main__":
                         help="tables.npz from tools/convert_checkpoint.py")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic_root", type=str, default=None)
+    parser.add_argument("--synthetic_model_dims", action="store_true",
+                        help="write synthetic features at the model "
+                             "config's dims (full-size end-to-end runs)")
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        choices=("float32", "bfloat16"),
+                        help="override the model compute dtype")
     train(parser.parse_args())
