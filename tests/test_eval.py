@@ -171,6 +171,157 @@ def test_annotation_dataset_and_gt_generation(tmp_path):
     assert mAP == pytest.approx(1.0)
 
 
+def test_traj_map_matches_reference():
+    """Trajectory-mAP == reference video_object_detection.evaluate on random
+    per-frame trajectory dicts (3-threshold overlap, VOC-07 AP, greedy
+    per-class matching)."""
+    import sys
+
+    from vidsgg_big_tpu.evaluation.traj_map import eval_video_object
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from VidVRDhelperEvalAPIs import video_object_detection as ref_vod
+    finally:
+        sys.path.remove("/root/reference")
+
+    rng = np.random.default_rng(17)
+    cats = ["dog", "car", "person", "bicycle"]
+
+    def traj(lo, hi):
+        fids = [str(f) for f in range(int(lo), int(hi))]
+        xy = rng.uniform(0, 200, size=(len(fids), 2))
+        wh = rng.uniform(20, 120, size=(len(fids), 2))
+        boxes = np.concatenate([xy, xy + wh], -1).round(1).tolist()
+        return dict(zip(fids, boxes))
+
+    gt, pred = {}, {}
+    for v in range(4):
+        vid = f"v{v}"
+        gt[vid] = [
+            {"category": str(rng.choice(cats)),
+             "trajectory": traj(rng.integers(0, 10), rng.integers(20, 40))}
+            for _ in range(int(rng.integers(2, 5)))]
+        preds = []
+        for g in gt[vid]:
+            t = {f: [c + rng.normal(0, 3.0) for c in b]
+                 for f, b in g["trajectory"].items()}
+            preds.append({"category": g["category"],
+                          "score": float(rng.uniform()), "trajectory": t})
+        # distractors: wrong class / random boxes
+        preds.append({"category": str(rng.choice(cats)),
+                      "score": float(rng.uniform()),
+                      "trajectory": traj(0, 25)})
+        pred[vid] = preds
+
+    ours_map, ours_ap = eval_video_object(gt, pred, use_07_metric=True,
+                                          thresh_t=0.5)
+    ref_map, ref_ap = ref_vod.evaluate(gt, pred, use_07_metric=True,
+                                       thresh_t=0.5)
+    np.testing.assert_allclose(ours_map, ref_map, rtol=1e-12)
+    assert ours_ap == ref_ap
+
+
+def test_fraction_recall_matches_reference(reference_utils):
+    """fraction_recall == the reference eval_fraction_recall pipeline
+    (reference tools/eval_fraction_recall.py:14-178) on random GT graphs
+    with duplicated 5-tuples and random hit assignments.
+
+    (reference_utils installs the torchvision stub the reference imports.)"""
+    import sys
+    import types as _types
+    import importlib
+
+    import torch
+
+    from vidsgg_big_tpu.data.types import VideoGTRecord
+    from vidsgg_big_tpu.evaluation.fraction_recall import fraction_recall
+
+    sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, "/root/reference/tools")
+    try:
+        ref = importlib.import_module("eval_fraction_recall")
+        from utils.utils_func import unique_with_idx_nd
+    finally:
+        sys.path.remove("/root/reference/tools")
+        sys.path.remove("/root/reference")
+
+    rng = np.random.default_rng(23)
+    n_recalls = (50, 100, 150, 1000)
+    gts, hit_infos = [], {}
+    for v in range(5):
+        n, p = int(rng.integers(3, 6)), int(rng.integers(4, 10))
+        adj = np.zeros((2, p, n), np.float32)
+        # force duplicate 5-tuples: reuse a few (sub, obj) pairs + cats
+        pred_cats = rng.integers(1, 4, p)
+        subs = rng.integers(0, n, p)
+        objs = (subs + 1 + rng.integers(0, n - 1, p)) % n
+        if p >= 3:                       # guaranteed "multiple" group
+            pred_cats[1] = pred_cats[0]
+            subs[1], objs[1] = subs[0], objs[0]
+        adj[0, np.arange(p), subs] = 1
+        adj[1, np.arange(p), objs] = 1
+        duras = np.stack([np.zeros(p), np.full(p, 20)], 1).astype(np.int64)
+        gt = VideoGTRecord(
+            video_name=f"g_{v:010d}", video_len=30, video_wh=(64, 48),
+            traj_cat_ids=rng.integers(1, 6, n).astype(np.int64),
+            traj_durations=np.stack(
+                [np.zeros(n), np.full(n, 25)], 1).astype(np.int64),
+            traj_boxes=[np.zeros((26, 4), np.float32) for _ in range(n)],
+            pred_cat_ids=pred_cats.astype(np.int64), pred_durations=duras,
+            adj=adj)
+        gts.append(gt)
+        hits = rng.integers(-1, 130, p).astype(np.int64)
+        hit_infos[gt.video_name] = (rng.uniform(size=p), hits)
+
+    ours = fraction_recall(gts, hit_infos, n_recalls)
+
+    # replay the reference aggregation with the reference's own functions
+    total_hit = {s: {k: 0.0 for k in n_recalls} for s in range(3)}
+    total_gt = {s: 0 for s in range(3)}
+    per_video = {s: {k: [] for k in n_recalls} for s in range(3)}
+    for gt in gts:
+        duck = _types.SimpleNamespace(
+            num_trajs=gt.num_trajs, num_preds=gt.num_preds,
+            video_len=gt.video_len,
+            traj_bboxes=[torch.tensor(b) for b in gt.traj_boxes],
+            traj_cat_ids=torch.tensor(gt.traj_cat_ids),
+            traj_durations=torch.tensor(gt.traj_durations),
+            pred_durations=torch.tensor(gt.pred_durations),
+            pred_cat_ids=torch.tensor(gt.pred_cat_ids),
+            adj_matrix=torch.tensor(gt.adj))
+        five = ref.prepare_gt_data(duck)
+        _, gt2hit = hit_infos[gt.video_name]
+        gt2hit = torch.tensor(gt2hit)
+        _, index_map = unique_with_idx_nd(five)
+        singles, multiples = [], []
+        for im in index_map:
+            (singles if len(im) == 1 else multiples).append(im)
+        cat = lambda ims: (torch.cat(ims) if ims
+                           else torch.empty(0, dtype=torch.long))
+        for s, ids in ((0, torch.arange(five.shape[0])), (1, cat(singles)),
+                       (2, cat(multiples))):
+            n_gt, n_hits = ref.calculate_n_hits(five[ids], gt2hit[ids],
+                                                list(n_recalls))
+            total_gt[s] += n_gt
+            for k, h in n_hits.items():
+                total_hit[s][k] += h
+                if n_gt > 0:
+                    per_video[s][k].append(h / n_gt)
+
+    names = {0: "overall", 1: "single", 2: "multiple"}
+    for s, nm in names.items():
+        for k in n_recalls:
+            np.testing.assert_allclose(
+                ours["video_level"][nm][k],
+                float(np.mean(per_video[s][k])) if per_video[s][k] else 0.0,
+                rtol=1e-9, err_msg=f"video {nm}@{k}")
+            np.testing.assert_allclose(
+                ours["dataset_level"][nm][k],
+                (total_hit[s][k] / total_gt[s]) if total_gt[s] else 0.0,
+                rtol=1e-9, err_msg=f"dataset {nm}@{k}")
+
+
 def test_zero_shot_eval():
     from vidsgg_big_tpu.evaluation.zero_shot import evaluate_zero_shot
     rng = np.random.default_rng(11)
