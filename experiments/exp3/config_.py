@@ -1,4 +1,6 @@
 # exp3: BIG-C on VidVRD with MEGA tracklets (paper table 1).
+# Values mirror reference experiments/exp3/config_.py (1024-d MEGA RoI
+# features, test-split max_proposal=150, 120-epoch schedule).
 model_config = dict(
     num_enti_cats   = 36,
     num_pred_cats   = 133,
@@ -6,7 +8,7 @@ model_config = dict(
     dim_enti        = 512,
     dim_pred        = 512,
     dim_att         = 512,
-    dim_feat        = 2048,
+    dim_feat        = 1024,
     dim_clsme       = 300,
     enco_pool_len   = 4,
     n_enco_layers   = 2,
@@ -23,18 +25,28 @@ model_config = dict(
 train_dataset_config = dict(
     split = "train",
     ann_dir = "datasets/vidvrd-dataset",
-    proposal_dir = "proposals/vidvrd-dataset/miss30_minscore0p3/VidVRD_every1frames",
-    dim_boxfeature = 2048,
+    proposal_dir = "proposals/vidvrd-dataset/miss30_minscore0p3/VidVRD_train_every1frames",
+    dim_boxfeature = 1024,
     min_frames_th = 5,
     max_proposal = 50,
     max_preds = 100,
     cache_tag = "MEGA",
     fmt = "mega",
 )
-test_dataset_config = dict(train_dataset_config, split="test")
+test_dataset_config = dict(
+    split = "test",
+    ann_dir = "datasets/vidvrd-dataset",
+    proposal_dir = "proposals/vidvrd-dataset/miss30_minscore0p3/VidVRD_test_every1frames",
+    dim_boxfeature = 1024,
+    min_frames_th = 5,
+    max_proposal = 150,
+    max_preds = 100,
+    cache_tag = "MEGA",
+    fmt = "mega",
+)
 train_config = dict(
     batch_size          = 8,
-    total_epoch         = 100,
+    total_epoch         = 120,
     initial_lr          = 1e-4,
     lr_decay            = 0.2,
     epoch_lr_milestones = [80],

@@ -1,12 +1,10 @@
-# grounding stage (stage 2 of BIG) — same keys as the reference
-# experiments/grounding_weights/config_.py.
+# grounding stage (stage 2 of BIG) — same keys and values as the
+# reference experiments/grounding_weights/config_.py (num_bins=10).
 model_config = dict(
     dim_feat = 1024,
     dim_clsme = 300,
     dim_hidden = 128,
     num_bins  = 10,
-    num_enti_cats = 81,
-    num_pred_cats = 51,
     EntiNameEmb_path = "prepared_data/vidor_EntiNameEmb.npy",
     PredNameEmb_path = "prepared_data/vidor_PredNameEmb.npy",
     loss_factor = dict(
@@ -17,6 +15,7 @@ model_config = dict(
 )
 test_dataset_config = dict(
     split = "val",
+    video_dir = "datasets/vidor-dataset/val_videos",
     ann_dir = "datasets/vidor-dataset/annotation",
     proposal_dir = "proposals/miss60_minscore0p3/VidORval_freq1",
     classeme_dir = "proposals/miss60_minscore0p3/VidORval_freq1_classeme",
@@ -31,15 +30,18 @@ test_dataset_config = dict(
 train_dataset_config = dict(
     split = "train",
     ann_dir = "datasets/vidor-dataset/annotation",
-    proposal_dir = {i: f"proposals/miss60_minscore0p3/VidORtrain_freq1_part{i+1:02d}" for i in range(14)},
+    video_dir = "datasets/vidor-dataset/train_videos",
     classeme_dir = "proposals/miss60_minscore0p3/VidORtrain_freq1_classeme",
     video_feature_dir = "datasets/I3D_clip_features/clip16_overlap0.5",
+    proposal_dir = {i: f"proposals/miss60_minscore0p3/VidORtrain_freq1_part{i+1:02d}"
+                    for i in range(14)},
+    cache_dir = "datasets/cache",
+    cache_tag = "MEGAv7",
     dim_boxfeature = 1024,
     min_frames_th = 15,
     max_proposal = 180,
     max_preds = 200,
     score_th = 0.4,
-    cache_tag = "MEGAv7",
 )
 train_config = dict(
     batch_size          = 8,
@@ -53,5 +55,5 @@ inference_config = dict(
     tiou_th = 0.5,    # for temporal pooling
     bins_th = 0.2,    # for multi-bin NMS
     nms_th = 0.8,     # for multi-bin NMS
-    eval_tiouths = 0.5,
+    eval_tiouths = 0.5,  # for evaluating the grounding module itself only
 )

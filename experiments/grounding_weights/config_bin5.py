@@ -1,22 +1,17 @@
-# exp6: VidOR Base-C (pairwise baseline, paper table 2).
-# Values mirror reference experiments/exp6/config_.py — Base-C has no
-# transformer, so the reference config carries no layer/query/loss keys.
+# grounding stage (stage 2 of BIG) — same keys and values as the
+# reference experiments/grounding_weights/config_.py (num_bins=5, table-6 ablation).
 model_config = dict(
-    dataset_type    = "VidOR",
-    num_enti_cats   = 81,
-    num_pred_cats   = 51,
-    dim_ffn         = 512,
-    dim_enti        = 512,
-    dim_pred        = 512,
-    dim_att         = 512,
-    dim_feat        = 1024,
-    dim_clsme       = 300,
-    enco_pool_len   = 4,
-    positive_vIoU_th= 0.5,
-    rt_triplets_topk = -1,   # -1 for return all
-    EntiNameEmb_path= None,
-    use_clsme       = True,
-    bias_matrix_path= "prepared_data/pred_bias_matrix_vidor.npy",
+    dim_feat = 1024,
+    dim_clsme = 300,
+    dim_hidden = 128,
+    num_bins  = 5,
+    EntiNameEmb_path = "prepared_data/vidor_EntiNameEmb.npy",
+    PredNameEmb_path = "prepared_data/vidor_PredNameEmb.npy",
+    loss_factor = dict(
+        classification = 1.0,
+        centerness = 1.0,
+        regression = 1.0,
+    ),
 )
 test_dataset_config = dict(
     split = "val",
@@ -37,6 +32,7 @@ train_dataset_config = dict(
     ann_dir = "datasets/vidor-dataset/annotation",
     video_dir = "datasets/vidor-dataset/train_videos",
     classeme_dir = "proposals/miss60_minscore0p3/VidORtrain_freq1_classeme",
+    video_feature_dir = "datasets/I3D_clip_features/clip16_overlap0.5",
     proposal_dir = {i: f"proposals/miss60_minscore0p3/VidORtrain_freq1_part{i+1:02d}"
                     for i in range(14)},
     cache_dir = "datasets/cache",
@@ -48,13 +44,16 @@ train_dataset_config = dict(
     score_th = 0.4,
 )
 train_config = dict(
-    batch_size          = 4,
+    batch_size          = 8,
     total_epoch         = 80,
     initial_lr          = 5e-5,
     lr_decay            = 0.2,
-    epoch_lr_milestones = [50],
+    epoch_lr_milestones = [40, 60],
 )
-inference_config = dict(topk=3)
-extra_config = dict(
-    dataloader_name = "dataloader_vidor",
+inference_config = dict(
+    score_th = 0.9,   # for temporal pooling
+    tiou_th = 0.5,    # for temporal pooling
+    bins_th = 0.2,    # for multi-bin NMS
+    nms_th = 0.8,     # for multi-bin NMS
+    eval_tiouths = 0.5,  # for evaluating the grounding module itself only
 )

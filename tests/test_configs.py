@@ -1,0 +1,112 @@
+"""Config-fidelity gate: every experiment config must carry the reference's
+values.
+
+Parses each ``/root/reference/experiments/*/config_.py`` with the same loader
+our CLIs use and asserts that every non-path key in our config equals the
+reference value (paths are repo-local by design; only their presence is
+required).  This is the oracle that keeps exp-config drift (e.g. wrong
+encoder depth) from silently surviving — see reference
+experiments/exp4/config_.py:14-15 (6 enc / 4 dec), exp3/config_.py:10,49,57
+(1024-d feats, test max_proposal=150, 120 epochs).
+"""
+import os
+
+import pytest
+
+from vidsgg_big_tpu.utils.config import parse_config_py
+
+REF_ROOT = "/root/reference/experiments"
+OUR_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "experiments")
+
+# Keys whose values are filesystem locations: must exist in our config but
+# may point at repo-local paths instead of the reference author's homedir.
+PATH_KEYS = {
+    "ann_dir", "proposal_dir", "classeme_dir", "video_dir", "cache_dir",
+    "video_feature_dir", "i3d_dir", "EntiNameEmb_path", "bias_matrix_path",
+    "PredNameEmb_path",
+}
+# Keys we intentionally add on top of the reference's (parser format
+# selector; never a model/training hyperparameter).
+ALLOWED_EXTRA_KEYS = {"fmt"}
+
+CONFIG_DICTS = ("model_config", "train_dataset_config",
+                "test_dataset_config", "train_config", "inference_config",
+                "extra_config")
+
+EXPS = ["exp1", "exp2", "exp3", "exp4", "exp5", "exp6"]
+GROUNDING = [("grounding_weights", "config_.py"),
+             ("grounding_weights", "config_bin1.py"),
+             ("grounding_weights", "config_bin5.py")]
+
+
+def _load_pair(subdir, fname):
+    ref_file = os.path.join(REF_ROOT, subdir, fname)
+    our_file = os.path.join(OUR_ROOT, subdir, fname)
+    if not os.path.isfile(ref_file):
+        pytest.skip("reference repo not available")
+    assert os.path.isfile(our_file), f"missing config: {our_file}"
+    return parse_config_py(ref_file), parse_config_py(our_file)
+
+
+def _assert_dict_matches(ref: dict, ours: dict, where: str,
+                         skip_value_check=()):
+    for key, ref_val in ref.items():
+        assert key in ours, f"{where}: missing reference key {key!r}"
+        if key in PATH_KEYS or key in skip_value_check:
+            continue
+        our_val = ours[key]
+        if isinstance(ref_val, dict) and not isinstance(
+                next(iter(ref_val.values()), None), str):
+            assert isinstance(our_val, dict), f"{where}.{key}: not a dict"
+            _assert_dict_matches(ref_val, our_val, f"{where}.{key}")
+            extra = set(our_val) - set(ref_val)
+            assert not extra, f"{where}.{key}: extra keys {extra}"
+        else:
+            assert our_val == ref_val, (
+                f"{where}.{key}: ours={our_val!r} != reference={ref_val!r}")
+    # Extra path keys (e.g. exp4's stage-B video_feature_dir) are allowed:
+    # they add repo-local file locations, never hyperparameters.
+    extra = set(ours) - set(ref) - ALLOWED_EXTRA_KEYS - PATH_KEYS
+    assert not extra, f"{where}: extra non-reference keys {sorted(extra)}"
+
+
+@pytest.mark.parametrize("exp", EXPS)
+def test_experiment_config_matches_reference(exp):
+    ref, ours = _load_pair(exp, "config_.py")
+    for dict_name in CONFIG_DICTS:
+        if dict_name not in ref:
+            continue
+        assert dict_name in ours, f"{exp}: missing {dict_name}"
+        # exp5's reference file has train parts 02-14 commented out (a
+        # debugging leftover); the released model used all 14 parts, so our
+        # train proposal_dir is deliberately the full dict — skip only the
+        # proposal_dir presence-vs-value there (it is a PATH_KEY anyway).
+        _assert_dict_matches(ref[dict_name], ours[dict_name],
+                             f"{exp}.{dict_name}")
+
+
+@pytest.mark.parametrize("subdir,fname", GROUNDING,
+                         ids=["bins10", "bins1", "bins5"])
+def test_grounding_config_matches_reference(subdir, fname):
+    ref, ours = _load_pair(subdir, fname)
+    for dict_name in CONFIG_DICTS:
+        if dict_name not in ref:
+            continue
+        assert dict_name in ours, f"{fname}: missing {dict_name}"
+        _assert_dict_matches(ref[dict_name], ours[dict_name],
+                             f"{fname}.{dict_name}")
+
+
+def test_exp4_exp5_true_decoder_geometry():
+    """The published VidOR BIG-C is 6-enc/4-dec (reference
+    experiments/exp4/config_.py:14-15) — pin it explicitly so a refactor of
+    the comparison above can never silently lose the headline geometry."""
+    for exp in ("exp4", "exp5"):
+        cfg = parse_config_py(os.path.join(OUR_ROOT, exp, "config_.py"))
+        assert cfg["model_config"]["n_enco_layers"] == 6
+        assert cfg["model_config"]["n_deco_layers"] == 4
+    exp3 = parse_config_py(os.path.join(OUR_ROOT, "exp3", "config_.py"))
+    assert exp3["model_config"]["dim_feat"] == 1024
+    assert exp3["test_dataset_config"]["max_proposal"] == 150
+    assert exp3["train_config"]["total_epoch"] == 120
