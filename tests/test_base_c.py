@@ -44,6 +44,30 @@ def test_basec_forward_and_loss():
     assert np.isfinite(gmax) and gmax > 0
 
 
+def test_basec_int8_feature_storage_close_to_f32():
+    """--use_baseline with --feat_dtype int8: the classeme extra channels
+    must be dequantized by feat_scale before stretch_weighted_mean (same
+    guard as BigC, big_c.py dequantize_extra) and the stretch weights must
+    not be computed in int8 (count overflow at T>127)."""
+    vids = [make_video(7 + s, video_len=70, feat_dim=FEAT, n_gt_trajs=4,
+                       n_preds=5, num_enti_cats=10, num_pred_cats=14)
+            for s in range(2)]
+    b32 = stack_batches(
+        [pack_proposal(p, 10, 256, FEAT) for p, _ in vids])
+    b8 = stack_batches(
+        [pack_proposal(p, 10, 256, FEAT, dtype=np.int8) for p, _ in vids])
+    assert b8.feats.dtype == jnp.int8
+
+    model = BaseC(CFG)
+    params = model.init(jax.random.PRNGKey(0), b32)
+    out32 = np.asarray(model.apply(params, b32)["pred_logits"], np.float64)
+    out8 = np.asarray(model.apply(params, b8)["pred_logits"], np.float64)
+    cos = (out32 * out8).sum() / (
+        np.linalg.norm(out32) * np.linalg.norm(out8))
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(out32, out8, atol=0.15 * np.abs(out32).max())
+
+
 def test_label_assignment_matches_reference_loop():
     """Replay the reference prop_pair_to_gt_pred python loops in numpy and
     compare with the vectorized assignment."""

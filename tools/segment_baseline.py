@@ -156,9 +156,13 @@ def detect(store: SegmentStore, args, logger):
     logger.info(f"saved {sum(map(len, results.values()))} relations "
                 f"to {out_path}")
 
+    # every test-split GT video participates: videos with no predictions
+    # contribute AP 0 (evaluate() treats missing prediction keys as empty),
+    # matching the challenge protocol's average over all GT videos
+    test_vids = set(store.index["test"])
     gt = {}
     for vid, rels in store.groundtruth().items():
-        if vid not in results:
+        if vid not in test_vids:
             continue
         gt[vid] = [dict(r, triplet=[obj_names[r["triplet"][0]],
                                     pred_names[r["triplet"][1]],

@@ -121,8 +121,12 @@ def write_synthetic_segments(root: str, n_videos: int = 6,
         for _ in range(int(rng.integers(2, 5))):
             t1, t2 = rng.choice(n_objs, 2, replace=False)
             pid = int(rng.integers(0, npred))
-            lo = int(rng.integers(0, max(n_frames - 30, 1)))
-            hi = int(rng.integers(lo + 30, n_frames + 1))
+            # Align durations to the 15-frame segment grid so relations
+            # land on segment_video(0, n_frames)'s windows (unaligned
+            # durations matched only when lo % 15 == 0, leaving the
+            # synthetic train split nearly labelless).
+            lo = 15 * int(rng.integers(0, (n_frames - 30) // 15 + 1))
+            hi = lo + 15 * int(rng.integers(2, (n_frames - lo) // 15 + 1))
             rels.append((int(t1), int(t2), int(cats[t1]), pid,
                          int(cats[t2]), lo, hi))
 
@@ -159,9 +163,11 @@ def write_synthetic_segments(root: str, n_videos: int = 6,
             n = len(rows)
             iou = cubic_iou(traj_rois, traj_rois).astype(np.float32)
 
+            # A relation is active in every segment its duration covers
+            # (with grid-aligned lo this equals membership in
+            # segment_video(lo, hi), the reference's association rule).
             active = [(t1, t2, s, p, o) for (t1, t2, s, p, o, lo, hi) in rels
-                      if any((fs, fe) == seg
-                             for seg in segment_video(lo, hi))]
+                      if fs >= lo and fe <= hi]
             pairs = np.asarray([(i, j) for i in range(n) for j in range(n)
                                 if i != j], np.int64)
             feats = np.zeros((len(pairs), cfg.feature_dim), np.float32)

@@ -91,8 +91,13 @@ class BaseC(nn.Module):
                 obj_clsme = emb[so_cats[:, 1]]
             else:
                 from ..ops.segments import stretch_weighted_mean
+                from .big_c import dequantize_extra
                 lengths = (batch.durations[..., 1]
                            - batch.durations[..., 0] + 1)
+                # int8 feature storage: same dequant guard as BigC
+                # (big_c.py dequantize_extra) — without it the classeme
+                # channels stay unscaled int8.
+                extra = dequantize_extra(extra, batch.feat_scale)
                 clsme_avg = stretch_weighted_mean(extra, lengths)
                 sub_clsme = clsme_avg[:, pair_ids[:, 0]]
                 obj_clsme = clsme_avg[:, pair_ids[:, 1]]

@@ -103,6 +103,19 @@ class BigCConfig:
         )
 
 
+def dequantize_extra(extra, feat_scale):
+    """Dequantize int8-stored aux feature channels with the per-video scale.
+
+    No-op for float inputs.  Shared by BigC and BaseC so both tracklet-head
+    paths honor ``--feat_dtype int8`` feature storage.
+    """
+    if extra.dtype != jnp.int8:
+        return extra
+    scale = feat_scale.reshape(
+        feat_scale.shape + (1,) * (extra.ndim - feat_scale.ndim))
+    return extra.astype(jnp.float32) * scale
+
+
 def geometry_features(batch: TrackletBatch):
     """Per-frame 8-dim box geometry, stretched to the bucket length.
 
@@ -295,11 +308,7 @@ class BigC(nn.Module):
         # equivalent to a repeat-counts-weighted mean over raw frames
         if cfg.dim_i3d or cfg.clsme_in_feats:
             lengths = batch.durations[..., 1] - batch.durations[..., 0] + 1
-            if extra.dtype == jnp.int8:    # dequantize the aux channels
-                scale = batch.feat_scale.reshape(
-                    batch.feat_scale.shape + (1,) * (extra.ndim -
-                                                     batch.feat_scale.ndim))
-                extra = extra.astype(jnp.float32) * scale
+            extra = dequantize_extra(extra, batch.feat_scale)
             extra_avg = stretch_weighted_mean(extra, lengths)  # (B, N, D_x)
         else:
             extra_avg = None

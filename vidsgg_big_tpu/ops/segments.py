@@ -163,7 +163,13 @@ def stretch_weighted_mean(x, lengths, t: int | None = None):
     x: (..., T, D); lengths: (...,).  Equals stretch_lookup(x, idx).mean(-2).
     """
     t = t if t is not None else x.shape[-2]
-    w = stretch_counts(lengths, t).astype(x.dtype) / t    # (..., T)
+    # Weights in float32 always: counts reach T (up to 512+), which
+    # overflows int8/int16 inputs' dtypes, and integer division truncates.
+    w = stretch_counts(lengths, t).astype(jnp.float32) / t  # (..., T)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(jnp.float32)
+    else:
+        w = w.astype(x.dtype)
     return jnp.einsum("...td,...t->...d", x, w)
 
 
