@@ -222,7 +222,8 @@ def bench_grounding_train():
 
 def bench_vidor():
     """BIG-C v7 inference at the VidOR exp4 geometry: N=180 proposals,
-    T=512 bucket, RoI(1024)+classeme(300) features, 81/51 vocab."""
+    T=512 bucket, RoI(1024)+classeme(300) features, 81/51 vocab, and the
+    published 6-enc/4-dec depth (reference experiments/exp4/config_.py:14-15)."""
     import jax
     import ml_dtypes
     from vidsgg_big_tpu.data.synthetic import make_video
@@ -233,7 +234,7 @@ def bench_vidor():
     cfg = BigCConfig(
         num_pred_cats=51, num_enti_cats=81, dim_feat=1024, dim_clsme=300,
         dim_enti=512, dim_pred=512, dim_att=512, dim_ffn=512, dim_i3d=None,
-        enco_pool_len=4, n_enco_layers=2, n_deco_layers=6, n_att_head=8,
+        enco_pool_len=4, n_enco_layers=6, n_deco_layers=4, n_att_head=8,
         num_querys=192, compute_dtype="bfloat16", variant="v7",
         use_clsme=True, use_name_emb=False)
     model = BigC(cfg, enti_name_emb=np.zeros((81, 300), np.float32))
@@ -256,6 +257,42 @@ def bench_vidor():
         out = infer(params, batch)
     float(np.asarray(out.scores).sum())
     return BATCH * n / (time.perf_counter() - t0)
+
+
+def bench_serving_b32():
+    """Large-batch serving at exp2 geometry (B=32): the regime where the
+    fused Pallas role-attention kernel auto-engages (layers.py:219-222,
+    measured 1.3x over XLA from B~24).  This stage makes the kernel's
+    auto-engage threshold part of a shipped workload, not only a
+    microbenchmark."""
+    import jax
+    import ml_dtypes
+    from vidsgg_big_tpu.data.types import pack_proposal, stack_batches
+    from vidsgg_big_tpu.models import BigC, BigCConfig
+    from vidsgg_big_tpu.train.steps import build_infer_step
+
+    b = 32
+    cfg = BigCConfig(
+        num_pred_cats=133, num_enti_cats=36, dim_feat=DIM_FEAT,
+        dim_clsme=300, dim_enti=512, dim_pred=512, dim_att=512, dim_ffn=512,
+        dim_i3d=DIM_I3D, enco_pool_len=4, n_enco_layers=2, n_deco_layers=6,
+        n_att_head=8, num_querys=192, compute_dtype="bfloat16")
+    model = BigC(cfg, enti_name_emb=np.zeros((36, 300), np.float32))
+    recs = make_records(b)
+    batch = stack_batches([
+        pack_proposal(r, N_BUCKET, T_BUCKET, DIM_FEAT + DIM_I3D,
+                      dtype=ml_dtypes.bfloat16) for r in recs])
+    params = model.init(jax.random.PRNGKey(0), batch)
+    infer = build_infer_step(model, topk=10)
+    batch = jax.device_put(batch)
+    float(np.asarray(infer(params, batch).scores).sum())   # compile+warm
+    n = max(N_TIMED // 2, 1)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = infer(params, batch)
+    float(np.asarray(out.scores).sum())
+    return b * n / (time.perf_counter() - t0)
 
 
 def bench_reference(recs):
@@ -387,6 +424,13 @@ def main():
     except Exception as e:
         print(f"vidor bench skipped/failed: {e!r}", file=sys.stderr)
     try:
+        if left() < 250:
+            raise TimeoutError(f"{left():.0f}s left")
+        stage("serving B=32 (Pallas role-attn auto-engaged)")
+        extra["serving_b32_videos_per_sec"] = round(bench_serving_b32(), 1)
+    except Exception as e:
+        print(f"serving-b32 bench skipped/failed: {e!r}", file=sys.stderr)
+    try:
         if left() < 120:
             raise TimeoutError(f"{left():.0f}s left")
         stage("torch reference")
@@ -394,19 +438,22 @@ def main():
     except Exception as e:
         print(f"reference baseline skipped/failed: {e!r}", file=sys.stderr)
         ref = None
-    if not ref:
-        # fall back to the round-1 measured torch-CPU rate (BENCH_r01.json:
-        # 998.7 v/s at 1373.9x => 0.727 v/s) so a skipped re-measurement
-        # doesn't zero the ratio; label the provenance
-        ref = 0.727
-        extra["vs_baseline_note"] = "reference rate cached from round-1 run"
-    vs = ours / ref
+    if ref:
+        vs = round(ours / ref, 2)
+    else:
+        # reference not re-measured this run: report the headline ratio as
+        # null and put the cached round-1 torch-CPU rate (BENCH_r01.json:
+        # 998.7 v/s at 1373.9x => 0.727 v/s) in a clearly-labeled side field
+        vs = None
+        extra["vs_baseline_cached_round1"] = round(ours / 0.727, 2)
+        extra["vs_baseline_note"] = (
+            "reference not re-measured; ratio uses round-1 cached 0.727 v/s")
     print(json.dumps({
         "metric": "BIG-C relation inference throughput (N=50,T=256,"
                   "RoI2048+I3D832,Q=192; vs reference PyTorch on host CPU)",
         "value": round(ours, 3),
         "unit": "videos/sec",
-        "vs_baseline": round(vs, 2),
+        "vs_baseline": vs,
         "extra": extra,
     }))
 

@@ -34,13 +34,19 @@ CASES = [
     ("v7", dict(dim_feat=40, use_clsme=True, use_name_emb=True)),
     ("v7", dict(dim_feat=40, use_clsme=True, use_name_emb=False)),
     ("v7", dict(dim_feat=40, use_clsme=False, use_name_emb=False)),
+    # the published VidOR geometry is depth-asymmetric: 6 encoder / 4
+    # decoder layers (reference experiments/exp4/config_.py:14-15) — prove
+    # the transplant/forward loops handle enc != dec counts
+    ("v7", dict(dim_feat=40, use_clsme=False, use_name_emb=False,
+                n_enco_layers=6, n_deco_layers=4)),
 ]
 
 
 def _flax_cfg(variant, dim_feat, dim_i3d=None, use_clsme=True,
-              use_name_emb=True):
+              use_name_emb=True, **arch):
     return BigCConfig(dim_feat=dim_feat, dim_i3d=dim_i3d, variant=variant,
-                      use_clsme=use_clsme, use_name_emb=use_name_emb, **BASE)
+                      use_clsme=use_clsme, use_name_emb=use_name_emb,
+                      **dict(BASE, **arch))
 
 
 def _feat_total(cfg: BigCConfig) -> int:
@@ -67,7 +73,7 @@ def _videos(feat_dim, seeds=(3, 4)):
 
 
 def _torch_model(reference_bigc, tmp_path, variant, dim_feat, dim_i3d=None,
-                 use_clsme=True, use_name_emb=True, seed=0):
+                 use_clsme=True, use_name_emb=True, seed=0, **arch):
     import torch
     torch.manual_seed(seed)
     rng = np.random.default_rng(seed + 1)
@@ -78,7 +84,8 @@ def _torch_model(reference_bigc, tmp_path, variant, dim_feat, dim_i3d=None,
     emb_path = tmp_path / f"emb_{variant}_{seed}.npy"
     np.save(bias_path, bias)
     np.save(emb_path, emb)
-    cfgd = dict(BASE, dim_feat=dim_feat, neg_weight=0.1, positive_vIoU_th=0.5,
+    cfgd = dict(BASE, **arch, dim_feat=dim_feat, neg_weight=0.1,
+                positive_vIoU_th=0.5,
                 cost_coeff_dict=dict(classification=1.0, adj_matrix=30.0),
                 loss_coeff_dict=dict(classification=1.0, adj_matrix=30.0),
                 bias_matrix_path=str(bias_path))
@@ -148,7 +155,7 @@ def _transplanted(reference_bigc, tmp_path, variant, kw):
 
 @pytest.mark.parametrize("variant,kw", CASES,
                          ids=["v10_i3d", "v10", "v7_emb", "v7_clsme",
-                              "v7_noclsme"])
+                              "v7_noclsme", "v7_enc6dec4"])
 def test_forward_parity(reference_bigc, tmp_path, variant, kw):
     import torch
     tmodel, cfg, model, variables, vids, batch, out = _transplanted(
@@ -337,7 +344,8 @@ def test_grounding_forward_parity(reference_utils, tmp_path):
                                rtol=5e-4, atol=5e-4)
 
 
-@pytest.mark.parametrize("case", [0, 2], ids=["v10_i3d", "v7_emb"])
+@pytest.mark.parametrize("case", [0, 2, 5],
+                         ids=["v10_i3d", "v7_emb", "v7_enc6dec4"])
 def test_convert_checkpoint_cli_roundtrip(reference_bigc, tmp_path, case):
     """tools/convert_checkpoint.py: reference .pth (DataParallel prefixes +
     training-dict wrapper) -> orbax checkpoint + tables.npz; the restored
@@ -370,18 +378,21 @@ def test_convert_checkpoint_cli_roundtrip(reference_bigc, tmp_path, case):
     torch.save({"model_state_dict": sd, "crt_epoch": 3, "batch_size": 4},
                pth)
     i3d = ", dim_i3d=8" if kw.get("dim_i3d") else ""
-    emb = (f", EntiNameEmb_path={str(tmp_path / 'emb.npy')!r}"
-           if variant == "v7" else "")
-    if variant == "v7":
+    emb = ""
+    if variant == "v7" and kw.get("use_name_emb", True):
         np.save(tmp_path / "emb.npy",
                 np.zeros((NUM_ENTI, DIM_CLSME), np.float32))
+        emb = f", EntiNameEmb_path={str(tmp_path / 'emb.npy')!r}"
+    n_enc = kw.get("n_enco_layers", BASE["n_enco_layers"])
+    n_dec = kw.get("n_deco_layers", BASE["n_deco_layers"])
     cfgf = tmp_path / "config_.py"
     cfgf.write_text(
         f"model_config = dict(num_pred_cats={NUM_PRED}, "
         f"num_enti_cats={NUM_ENTI}, dim_feat=40, dim_clsme={DIM_CLSME}, "
         "dim_enti=32, dim_pred=32, dim_att=32, dim_ffn=48, "
-        "enco_pool_len=4, n_enco_layers=2, n_deco_layers=2, n_att_head=4, "
-        f"num_querys=12, use_clsme=True{i3d}{emb})\n")
+        f"enco_pool_len=4, n_enco_layers={n_enc}, n_deco_layers={n_dec}, "
+        "n_att_head=4, "
+        f"num_querys=12, use_clsme={kw.get('use_clsme', True)}{i3d}{emb})\n")
     out = tmp_path / "converted"
     cc.convert(argparse.Namespace(
         torch_ckpt=str(pth), cfg_path=str(cfgf),
@@ -400,8 +411,9 @@ def test_convert_checkpoint_cli_roundtrip(reference_bigc, tmp_path, case):
                     jax.tree_util.tree_leaves(variables)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     t = np.load(out / "tables.npz")
-    np.testing.assert_array_equal(t["enti_name_emb"],
-                                  tables["enti_name_emb"])
+    if tables.get("enti_name_emb") is not None:
+        np.testing.assert_array_equal(t["enti_name_emb"],
+                                      tables["enti_name_emb"])
     if variant == "v7":
         np.testing.assert_array_equal(t["pos_emb_table"],
                                       tables["pos_emb_table"])
