@@ -225,6 +225,45 @@ def test_dataset_end_to_end_with_cache(tmp_path):
         assert props.feats.shape[2] == key[1]
 
 
+def test_bucketed_batches_streams_with_bounded_pending():
+    """The bucketer must (a) yield full batches before the source iterator
+    is exhausted (streaming — bounded-memory drivers depend on it), (b)
+    flush the fullest bucket early once max_pending records are held, and
+    (c) deliver every record exactly once with padding repeats masked."""
+    from vidsgg_big_tpu.data.synthetic import make_video
+
+    recs = []
+    for i in range(24):
+        # alternate shapes so multiple buckets stay partially filled
+        p, g = make_video(i, video_len=40 if i % 3 else 100,
+                          n_preds=3, n_gt_trajs=3,
+                          feat_dim=16, num_enti_cats=8, num_pred_cats=10)
+        recs.append((p, g))
+    spec = BucketSpec(n_ladder=(8, 16), t_ladder=(64, 128), g_bucket=8,
+                      p_bucket=8, feat_dim=16)
+
+    pulled = {"n": 0}
+
+    def source():
+        for r in recs:
+            pulled["n"] += 1
+            yield r
+
+    gen = bucketed_batches(source(), spec, batch_size=4, max_pending=8)
+    first = next(gen)
+    assert pulled["n"] < len(recs), "first batch must stream, not buffer all"
+
+    batches = [first] + list(gen)
+    seen = [p.video_name for _, rows, _, _ in batches for p, _ in rows]
+    assert sorted(seen) == sorted(p.video_name for p, _ in recs)
+    for key, rows, props, gts in batches:
+        assert props.feats.shape[0] == 4          # fixed compiled batch size
+        # rows beyond the real count are masked out entirely
+        mask = np.asarray(props.traj_mask)
+        assert mask[len(rows):].sum() == 0
+        assert all(mask[i].any() for i in range(len(rows)))
+
+
 def test_prepare_bias_matrix_and_classeme():
     from vidsgg_big_tpu.data import prepare
     from vidsgg_big_tpu.data.synthetic import make_video

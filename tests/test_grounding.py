@@ -149,6 +149,44 @@ def test_grounding_forward_and_loss():
     assert np.isfinite(gmax) and gmax > 0
 
 
+def test_grounding_remainder_padding_masked():
+    """Epoch-remainder batches pad by repeating the last video with its GT
+    masks zeroed (tools/train_vidor.py make_batch); the repeat must
+    contribute nothing: loss and grads equal the unpadded batch exactly."""
+    model = GroundingModel(CFG)
+    video_feats, clip_mask, n_clips, gts, video_len = _toy_batch()
+    prep = jax.vmap(
+        lambda g, vl, r: prepare_grounding_gt(g, vl, 10, r))(
+        gts, video_len, jax.random.split(jax.random.PRNGKey(0), 2))
+    params = model.init(jax.random.PRNGKey(1), video_feats, clip_mask,
+                        prep["query_cats"], prep["temporal"],
+                        prep["query_mask"])
+
+    def loss2(p):
+        return grounding_train_loss(
+            model, p, video_feats, clip_mask, n_clips, gts, video_len,
+            jax.random.PRNGKey(2), deterministic=True)
+
+    pad = lambda x: jnp.concatenate([x, x[-1:]], axis=0)
+    gts3 = jax.tree_util.tree_map(pad, gts)
+    real = jnp.arange(3) < 2
+    gts3 = gts3.replace(traj_mask=gts3.traj_mask & real[:, None],
+                        pred_mask=gts3.pred_mask & real[:, None])
+
+    def loss3(p):
+        return grounding_train_loss(
+            model, p, pad(video_feats), pad(clip_mask), pad(n_clips), gts3,
+            pad(video_len), jax.random.PRNGKey(2), deterministic=True)
+
+    (t2, _), g2 = jax.value_and_grad(loss2, has_aux=True)(params)
+    (t3, _), g3 = jax.value_and_grad(loss3, has_aux=True)(params)
+    np.testing.assert_allclose(float(t2), float(t3), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g2),
+                    jax.tree_util.tree_leaves(g3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_grounding_decode_shapes_and_fallback():
     rng = np.random.default_rng(4)
     qn, t, k = 4, 16, 4

@@ -44,6 +44,23 @@ def load_side_tables(tables_path, enti_emb=None):
     return enti_emb, pos
 
 
+def write_metrics_json(path, out):
+    """Dump (mean_ap, recall@K, tagging precision@K) from
+    eval_relation_with_gt as machine-readable JSON (consumed by
+    scripts/diff_baseline.py for real-data parity rehearsal)."""
+    import json
+
+    mean_ap, rec_at_n, prec_at_n = out
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({
+            "mAP": float(mean_ap),
+            "recall": {str(k): float(v) for k, v in rec_at_n.items()},
+            "precision": {str(k): float(v) for k, v in prec_at_n.items()},
+        }, f, indent=1)
+
+
 def make_dataset(dataset_config, dataset_type, synthetic=0, synthetic_root=None,
                  fmt=None, dim_feat=None, dim_i3d=None):
     """Build the dataset; with --synthetic N, first write a synthetic split in

@@ -8,7 +8,8 @@ import pickle
 import numpy as np
 import jax
 
-from common import make_dataset, load_tables, load_side_tables
+from common import (make_dataset, load_tables, load_side_tables,
+                    write_metrics_json)
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger
 from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
@@ -48,11 +49,12 @@ def evaluate_cls_stage(args, logger, all_cfgs):
     dataset, _ = make_dataset(all_cfgs["test_dataset_config"], "vidor",
                               synthetic=args.synthetic,
                               synthetic_root=args.synthetic_root)
-    items = list(dataset)
-    rows = [(it[-2], it[-1]) for it in items]
-    video_feats = {it[-2].video_name: it[0] for it in items} \
-        if dataset.use_video_features else {}
-    feat_dim = rows[0][0].features[0].shape[1]
+    # bounded memory: stream (prop, gt) records straight from the per-video
+    # cache — never list(dataset), and never load I3D clip features here
+    # (stage B reads them lazily per batch via dataset.load_video_feature)
+    rows_iter = (dataset.get_data(name) for name in dataset.video_name_list)
+    peek = dataset.get_data(dataset.video_name_list[0])
+    feat_dim = peek[0].features[0].shape[1]
     spec = BucketSpec(feat_dim=feat_dim, n_ladder=(8, 16, 32, 64, 128, 192),
                       feat_dtype=args.feat_dtype)
 
@@ -65,7 +67,7 @@ def evaluate_cls_stage(args, logger, all_cfgs):
         if enti_override is not None:
             enti_emb = enti_override
         model = BaseC(cfg, enti_name_emb=enti_emb)
-        first = next(iter(bucketed_batches(rows, spec, 1, with_gt=False)))
+        first = next(iter(bucketed_batches([peek], spec, 1, with_gt=False)))
         params = _load_params(model, first[2], args.ckpt_path, bias)
 
         def infer(params, props):
@@ -92,7 +94,7 @@ def evaluate_cls_stage(args, logger, all_cfgs):
         model = BigC(cfg, enti_name_emb=enti_emb
                      if cfg.use_name_emb else None,
                      pos_emb_table=pos_tab)
-        first = next(iter(bucketed_batches(rows, spec, 1, with_gt=False)))
+        first = next(iter(bucketed_batches([peek], spec, 1, with_gt=False)))
         params = _load_params(model, first[2], args.ckpt_path, bias)
         infer = build_infer_step(model, topk=topk)
 
@@ -106,19 +108,23 @@ def evaluate_cls_stage(args, logger, all_cfgs):
         params = jax.device_put(params, replicated(mesh))
         logger.info(f"data-parallel stage-A inference over {mesh}")
     infer_results = {}
+    # light rows kept for stage B / GT eval: features dropped (they dominate
+    # a record's footprint ~300:1; boxes/durations/GT graphs are small)
+    rows_light = []
     from vidsgg_big_tpu.data.prefetch import prefetch
     batches = prefetch(
-        bucketed_batches(rows, spec, args.batch_size, with_gt=False),
+        bucketed_batches(rows_iter, spec, args.batch_size, with_gt=False),
         size=2, device_put=mesh is None)  # overlap pack (+H2D off-axon)
     for key, brows, props, _ in batches:
         if mesh is not None:
             props = shard_batch(props, mesh)
         trip = jax.device_get(infer(params, props))
-        for i, (prop, _gt) in enumerate(brows):
+        for i, (prop, gt) in enumerate(brows):
             one = jax.tree_util.tree_map(lambda x: x[i], trip)
             infer_results[prop.video_name] = one
+            rows_light.append((prop.without_features(), gt))
     logger.info(f"stage-A inference done on {len(infer_results)} videos")
-    return infer_results, rows, video_feats
+    return infer_results, rows_light, dataset
 
 
 GROUNDING_Q_LADDER = (32, 64, 128, 256, 512, 1024)
@@ -161,11 +167,29 @@ def _expand_bins(prop, quint, scores3, duras, pooled, bins_probs, bins_mask):
     return qq, scores[sel], np.stack([fs, fe], axis=-1)[sel]
 
 
-def evaluate_combined(args, logger, all_cfgs, infer_results, rows,
-                      video_feats):
+GROUNDING_T_LADDER = (32, 64, 128, 256, 512, 1024)
+
+
+def _t_bucket_of(n_clips: int) -> int:
+    """Smallest clip-count bucket for one video; doubles past the ladder so
+    no video pads every batch in the run to the global max (the reference
+    handles every video at its own length, reference
+    tools/eval_vidor.py:226-253)."""
+    for t in GROUNDING_T_LADDER:
+        if n_clips <= t:
+            return t
+    t = GROUNDING_T_LADDER[-1]
+    while t < n_clips:
+        t *= 2
+    return t
+
+
+def evaluate_combined(args, logger, all_cfgs, infer_results, rows, dataset):
     """Stage B: grounding model expands each unique triplet into K+1 temporal
     bins (reference tools/eval_vidor.py:141-280) — batched per (Q, T) shape
-    bucket instead of the reference's per-video loop."""
+    bucket instead of the reference's per-video loop.  I3D clip features are
+    loaded lazily per batch (header-only reads plan the T buckets), so peak
+    memory is O(batch), not O(split)."""
     grd_cfgs = parse_config_py(args.grounding_cfg_path)
     gmc = grd_cfgs["model_config"]
     if args.compute_dtype:
@@ -173,9 +197,6 @@ def evaluate_combined(args, logger, all_cfgs, infer_results, rows,
     gcfg = GroundingConfig.from_dict(gmc)
     ginfer_cfg = grd_cfgs.get("inference_config", {})
     model = GroundingModel(gcfg)
-
-    max_clips = max(v.shape[0] for v in video_feats.values())
-    t_bucket = 1 << (max_clips - 1).bit_length()
 
     infer = build_grounding_infer_step(
         model, score_th=ginfer_cfg.get("score_th", 0.9),
@@ -186,7 +207,8 @@ def evaluate_combined(args, logger, all_cfgs, infer_results, rows,
     cvt = EvalFmtCvtor("vidor")
     predict_relations = {}
 
-    # collect per-video work, grouped on the Q ladder
+    # collect per-video work, grouped on the (Q, T) ladder; the T bucket
+    # comes from the .npy header (no feature data read here)
     groups = {}
     for prop, gt in rows:
         trip = infer_results.get(prop.video_name)
@@ -197,14 +219,17 @@ def evaluate_combined(args, logger, all_cfgs, infer_results, rows,
         work = (prop, np.asarray(trip.quintuples)[valid],
                 np.asarray(trip.scores)[valid],
                 np.asarray(trip.dura_inters)[valid])
-        groups.setdefault(_q_bucket_of(int(valid.sum())), []).append(work)
+        key = (_q_bucket_of(int(valid.sum())),
+               _t_bucket_of(dataset.video_feature_len(prop.video_name)))
+        groups.setdefault(key, []).append(work)
 
     params = None
     batch_size = max(args.batch_size, 4)
-    for q_bucket in sorted(groups):
-        group = groups[q_bucket]
+    for q_bucket, t_bucket in sorted(groups):
+        group = groups[(q_bucket, t_bucket)]
         logger.info(f"grounding stage B: {len(group)} videos in "
-                    f"Q-bucket {q_bucket} (batch {batch_size})")
+                    f"(Q={q_bucket}, T={t_bucket}) bucket "
+                    f"(batch {batch_size})")
         for s in range(0, len(group), batch_size):
             chunk = group[s:s + batch_size]
             b = batch_size                       # pad to a fixed batch shape
@@ -214,7 +239,7 @@ def evaluate_combined(args, logger, all_cfgs, infer_results, rows,
             temp = np.zeros((b, q_bucket, 2), np.float32)
             qm = np.zeros((b, q_bucket), bool)
             for i, (prop, quint, scores3, duras) in enumerate(chunk):
-                vf = video_feats[prop.video_name]
+                vf = dataset.load_video_feature(prop.video_name)
                 nc = min(vf.shape[0], t_bucket)
                 feats[i, :nc] = vf[:nc]
                 clips[i] = nc
@@ -257,12 +282,12 @@ def main(args):
     logger = create_logger(os.path.join(log_dir, f"eval_{args.save_tag}.log"))
     all_cfgs = parse_config_py(args.cfg_path)
 
-    infer_results, rows, video_feats = evaluate_cls_stage(args, logger,
-                                                          all_cfgs)
+    infer_results, rows, dataset = evaluate_cls_stage(args, logger,
+                                                      all_cfgs)
     cvt = EvalFmtCvtor("vidor")
-    if args.grounding_cfg_path and video_feats:
+    if args.grounding_cfg_path and dataset.use_video_features:
         predict_relations = evaluate_combined(
-            args, logger, all_cfgs, infer_results, rows, video_feats)
+            args, logger, all_cfgs, infer_results, rows, dataset)
     else:
         predict_relations = {}
         for prop, gt in rows:
@@ -297,16 +322,24 @@ def main(args):
         gt_relations = {}
         for prop, gt in rows:
             gt_relations.update(cvt.to_eval_format_gt(gt))
-    hit_infos = eval_relation_with_gt(
-        dataset_type="vidor", logger=logger,
-        prediction_results=predict_relations,
-        gt_relations_path=args.gt_json, gt_relations=gt_relations,
-        return_hit_infos=True)
     if args.save_hit_infos:
+        hit_infos = eval_relation_with_gt(
+            dataset_type="vidor", logger=logger,
+            prediction_results=predict_relations,
+            gt_relations_path=args.gt_json, gt_relations=gt_relations,
+            return_hit_infos=True)
         p = os.path.join(experiment_dir, f"hit_infos_{args.save_tag}.pkl")
         with open(p, "wb") as f:
             pickle.dump(hit_infos, f)
         logger.info(f"hit infos saved at {p}")
+    else:
+        out = eval_relation_with_gt(
+            dataset_type="vidor", logger=logger,
+            prediction_results=predict_relations,
+            gt_relations_path=args.gt_json, gt_relations=gt_relations)
+        if getattr(args, 'metrics_json', None):
+            write_metrics_json(args.metrics_json, out)
+            logger.info(f"metrics json saved at {args.metrics_json}")
 
 
 if __name__ == "__main__":
@@ -326,6 +359,9 @@ if __name__ == "__main__":
     parser.add_argument("--save_infer_result", action="store_true")
     parser.add_argument("--save_json_results", action="store_true")
     parser.add_argument("--save_hit_infos", action="store_true")
+    parser.add_argument("--metrics_json", type=str, default=None,
+                        help="write {mAP, recall@K, tagging P@K} as JSON "
+                             "(machine-readable, for scripts/diff_baseline.py)")
     parser.add_argument("--feat_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16", "int8"],
                         help="feature storage dtype (int8: quantized serving path)")

@@ -12,7 +12,8 @@ import pickle
 
 import jax
 
-from common import make_dataset, load_tables, load_side_tables
+from common import (make_dataset, load_tables, load_side_tables,
+                    write_metrics_json)
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger
 from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
@@ -37,18 +38,25 @@ def inference_then_eval(args):
 
     if args.json_results_path:
         logger.info(f"re-scoring saved predictions {args.json_results_path}")
-        return eval_relation_with_gt(
+        out = eval_relation_with_gt(
             dataset_type="vidvrd", logger=logger,
             json_results_path=args.json_results_path,
             gt_relations_path=args.gt_json)
+        if getattr(args, 'metrics_json', None):
+            write_metrics_json(args.metrics_json, out)
+        return out
 
     dims = ({"dim_feat": model_config["dim_feat"],
              "dim_i3d": model_config.get("dim_i3d")}
             if args.synthetic_model_dims else {})
+    # an explicit --fmt wins (exp1 is PKU *without* I3D: --use_pku --fmt pku);
+    # --use_pku alone implies the flagship pku_i3d format; with neither, the
+    # dataset config's own fmt key applies (exp1=pku, exp2=pku_i3d, exp3=mega)
+    fmt = args.fmt or ("pku_i3d" if args.use_pku else None)
     dataset, _ = make_dataset(
         all_cfgs["test_dataset_config"], "vidvrd",
         synthetic=args.synthetic, synthetic_root=args.synthetic_root,
-        fmt="pku_i3d" if args.use_pku else args.fmt, **dims)
+        fmt=fmt, **dims)
     logger.info(f"dataset: {len(dataset)} videos")
 
     if args.compute_dtype:
@@ -58,12 +66,14 @@ def inference_then_eval(args):
                                     cfg.num_pred_cats, cfg.dim_clsme)
     enti_emb, pos_tab = load_side_tables(args.tables_path, enti_emb)
     model = BigC(cfg, enti_name_emb=enti_emb, pos_emb_table=pos_tab)
-    items = list(dataset)
-    feat_dim = items[0][0].features[0].shape[1]
+    # bounded memory: peek one record for shapes; the split itself streams
+    # from the per-video cache through the bucketer (never list(dataset))
+    peek = dataset[0]
+    feat_dim = peek[0].features[0].shape[1]
     spec = BucketSpec(feat_dim=feat_dim,
                       feat_dtype=args.feat_dtype)
 
-    first = next(iter(bucketed_batches(items, spec, 1, with_gt=False)))
+    first = next(iter(bucketed_batches([peek], spec, 1, with_gt=False)))
     params = model.init(jax.random.PRNGKey(0), first[2])
     params = model.load_tables(params, bias)
     if args.ckpt_path:
@@ -85,10 +95,13 @@ def inference_then_eval(args):
     convertor = EvalFmtCvtor("vidvrd")
     predict_relations = {}
     infer_results = {}
+    # GT graphs are collected during the streaming pass (they are small —
+    # no feature arrays); a second dataset pass would re-read every record
+    gt_relations = {} if not args.gt_json else None
     logger.info("start inference...")
     from vidsgg_big_tpu.data.prefetch import prefetch
     batches = prefetch(
-        bucketed_batches(items, spec, args.batch_size, with_gt=False),
+        bucketed_batches(dataset, spec, args.batch_size, with_gt=False),
         size=2, device_put=mesh is None)  # overlap pack (+H2D off-axon)
     for key, rows, props, _ in batches:
         if mesh is not None:
@@ -97,12 +110,14 @@ def inference_then_eval(args):
         trip = jax.device_get(infer(params, props))
         # (batch remainders are padded by repeating the last video; the dict
         #  update below dedups those repeats by video name)
-        for i, (prop, _gt) in enumerate(rows):
+        for i, (prop, gt) in enumerate(rows):
             one = jax.tree_util.tree_map(lambda x: x[i], trip)
             pr = convertor.to_eval_format_pr(prop, one,
                                              use_pku=args.use_pku)
             predict_relations.update(pr)
             infer_results[prop.video_name] = one
+            if gt_relations is not None and gt is not None:
+                gt_relations.update(convertor.to_eval_format_gt(gt))
     logger.info(f"inference done on {len(predict_relations)} videos")
 
     if args.save_infer_result:
@@ -113,18 +128,18 @@ def inference_then_eval(args):
         logger.info(f"infer_result saved at {p}")
 
     if args.gt_json:
-        gt_relations = None
         gt_path = args.gt_json
     else:
-        logger.info("building GT from dataset annotations (our-gt path)")
-        gt_relations = {}
-        for prop, gt in items:
-            gt_relations.update(convertor.to_eval_format_gt(gt))
+        logger.info("using GT built from dataset annotations during the "
+                    "streaming pass (our-gt path)")
         gt_path = None
     out = eval_relation_with_gt(
         dataset_type="vidvrd", logger=logger,
         prediction_results=predict_relations,
         gt_relations_path=gt_path, gt_relations=gt_relations)
+    if getattr(args, 'metrics_json', None):
+        write_metrics_json(args.metrics_json, out)
+        logger.info(f"metrics json saved at {args.metrics_json}")
 
     if args.save_json_results:
         p = os.path.join(experiment_dir,
@@ -140,13 +155,18 @@ if __name__ == "__main__":
     parser.add_argument("--cfg_path", type=str, required=True)
     parser.add_argument("--ckpt_path", type=str, default=None)
     parser.add_argument("--use_pku", action="store_true")
-    parser.add_argument("--fmt", type=str, default="mega")
+    parser.add_argument("--fmt", type=str, default=None,
+                        help="tracklet format (mega/pku/pku_i3d); default "
+                             "mega, or pku_i3d when --use_pku")
     parser.add_argument("--save_tag", type=str, default="")
     parser.add_argument("--output_dir", type=str, default=None)
     parser.add_argument("--topk", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--gt_json", type=str, default=None)
     parser.add_argument("--json_results_path", type=str, default=None)
+    parser.add_argument("--metrics_json", type=str, default=None,
+                        help="write {mAP, recall@K, tagging P@K} as JSON "
+                             "(machine-readable, for scripts/diff_baseline.py)")
     parser.add_argument("--save_infer_result", action="store_true")
     parser.add_argument("--save_json_results", action="store_true")
     parser.add_argument("--data_parallel", action="store_true")

@@ -12,7 +12,8 @@ import jax
 from common import make_dataset, load_tables, load_side_tables
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger, MetricWriter
-from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
+from vidsgg_big_tpu.data.bucketing import (BucketSpec, bucketed_batches,
+                                           iter_shuffled)
 from vidsgg_big_tpu.data.prefetch import prefetch
 from vidsgg_big_tpu.models import BigC, BigCConfig
 from vidsgg_big_tpu.models.base_c import BaseC, BaseCConfig, basec_train_loss
@@ -58,8 +59,7 @@ def train_cls_stage(args):
     dataset, _ = make_dataset(all_cfgs["train_dataset_config"], "vidor",
                               synthetic=args.synthetic,
                               synthetic_root=args.synthetic_root)
-    items = [(it[-2], it[-1]) for it in dataset]
-    logger.info(f"dataset: {len(items)} videos")
+    logger.info(f"dataset: {len(dataset)} videos")
 
     cfg = BigCConfig.from_dict(model_config, variant="v7")
     enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
@@ -68,7 +68,7 @@ def train_cls_stage(args):
         getattr(args, 'tables_path', None), enti_emb)
     model = BigC(cfg, enti_name_emb=enti_emb, pos_emb_table=pos_tab)
     return _generic_train(args, logger, writer, experiment_dir, model, bias,
-                          train_config, items, model_config)
+                          train_config, dataset, model_config)
 
 
 def train_baseline(args):
@@ -79,7 +79,6 @@ def train_baseline(args):
     dataset, _ = make_dataset(all_cfgs["train_dataset_config"], "vidor",
                               synthetic=args.synthetic,
                               synthetic_root=args.synthetic_root)
-    items = [(it[-2], it[-1]) for it in dataset]
     cfg = BaseCConfig.from_dict(model_config)
     enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
                                     cfg.num_pred_cats, cfg.dim_clsme)
@@ -87,15 +86,17 @@ def train_baseline(args):
 
     batch_size = args.batch_size or train_config["batch_size"]
     total_epoch = args.epochs or train_config["total_epoch"]
-    iters_per_epoch = max(len(items) // batch_size, 1)
+    iters_per_epoch = max(len(dataset) // batch_size, 1)
     milestones = [m * iters_per_epoch
                   for m in train_config["epoch_lr_milestones"]]
     tx, sched = make_optimizer(train_config["initial_lr"],
                                train_config["lr_decay"], milestones)
-    feat_dim = items[0][0].features[0].shape[1]
+    row_of = lambda it: (it[-2], it[-1])
+    peek = row_of(dataset[0])
+    feat_dim = peek[0].features[0].shape[1]
     spec = BucketSpec(feat_dim=feat_dim, n_ladder=(8, 16, 32, 64),
                       p_bucket=model_config.get("max_preds", 128))
-    first = next(iter(bucketed_batches(items, spec, batch_size)))
+    first = next(iter(bucketed_batches([peek], spec, 1)))
     params = model.init(jax.random.PRNGKey(args.seed), first[2])
     import flax.traverse_util as tu
     flat = tu.flatten_dict(params)
@@ -123,7 +124,8 @@ def train_baseline(args):
     for epoch in range(start_epoch, total_epoch):
         losses = []
         for key, rows, props, gts in prefetch(bucketed_batches(
-                items, spec, batch_size, shuffle=True, seed=epoch)):
+                iter_shuffled(dataset, seed=epoch, map_fn=row_of),
+                spec, batch_size)):
             rng, sub = jax.random.split(rng)
             state, metrics = step(state, props, gts, sub)
             it += 1
@@ -136,6 +138,23 @@ def train_baseline(args):
             logger.info(f"checkpoint saved at {ckpt_dir}")
     writer.close()
     return state
+
+
+# clip-count shape ladder for the grounding stage: each batch compiles at
+# its own T bucket instead of padding the whole run to the longest video
+# (the reference handles every video at its own length,
+# reference tools/eval_vidor.py:226-253)
+CLIP_T_LADDER = (32, 64, 128, 256, 512, 1024)
+
+
+def clip_bucket_of(n_clips: int) -> int:
+    for t in CLIP_T_LADDER:
+        if n_clips <= t:
+            return t
+    t = CLIP_T_LADDER[-1]
+    while t < n_clips:
+        t *= 2
+    return t
 
 
 def train_grounding_stage(args):
@@ -159,44 +178,70 @@ def train_grounding_stage(args):
     model = GroundingModel(cfg, enti_emb_init=enti_emb if has_e else None,
                            pred_emb_init=pred_emb if has_p else None)
 
-    items = list(dataset)    # (video_feature, prop, gt)
     batch_size = args.batch_size or train_config["batch_size"]
     total_epoch = args.epochs or train_config["total_epoch"]
-    iters_per_epoch = max(len(items) // batch_size, 1)
+    iters_per_epoch = max(len(dataset) // batch_size, 1)
     milestones = [m * iters_per_epoch
                   for m in train_config["epoch_lr_milestones"]]
     tx, _ = make_optimizer(train_config["initial_lr"],
                            train_config["lr_decay"], milestones)
-
-    # clip bucket: next power of two over the max clip count
-    max_clips = max(it[0].shape[0] for it in items)
-    t_bucket = 1 << (max_clips - 1).bit_length()
     p_bucket = model_config.get("max_preds", 200)
 
-    def make_batch(rows):
-        feats = np.zeros((len(rows), t_bucket, cfg.dim_feat), np.float32)
-        n_clips = np.zeros((len(rows),), np.int32)
-        video_len = np.zeros((len(rows),), np.int32)
+    def make_batch(rows, t_bucket, n_real):
+        """rows: [(video_feature, gt)] padded to batch_size by repeating the
+        last video; repeats have their GT masks zeroed so they contribute
+        nothing to the loss (every real video trains each epoch — the
+        reference DataLoader keeps remainders too, drop_last=False)."""
+        b = len(rows)
+        feats = np.zeros((b, t_bucket, cfg.dim_feat), np.float32)
+        n_clips = np.zeros((b,), np.int32)
+        video_len = np.zeros((b,), np.int32)
         gts = []
-        for i, (vf, prop, gt) in enumerate(rows):
+        for i, (vf, gt) in enumerate(rows):
             n = min(vf.shape[0], t_bucket)
             feats[i, :n] = vf[:n]
             n_clips[i] = n
             video_len[i] = gt.video_len
             gts.append(pack_gt(gt, g_bucket=32, tg_bucket=64,
                                p_bucket=p_bucket))
+        gts = stack_batches(gts)
+        if n_real < b:
+            real = np.arange(b) < n_real
+            gts = gts.replace(traj_mask=gts.traj_mask & real[:, None],
+                              pred_mask=gts.pred_mask & real[:, None])
         clip_mask = np.arange(t_bucket)[None] < n_clips[:, None]
-        return (jax.numpy.asarray(feats), jax.numpy.asarray(clip_mask),
-                jax.numpy.asarray(n_clips), stack_batches(gts),
-                jax.numpy.asarray(video_len))
+        return (np.asarray(feats), np.asarray(clip_mask),
+                np.asarray(n_clips), gts, np.asarray(video_len))
 
-    rows0 = items[:batch_size]
-    feats, clip_mask, n_clips, gts, video_len = make_batch(rows0)
+    def epoch_batches(epoch):
+        """Stream shuffled videos into per-T-bucket batches; flush the
+        (padded, masked) remainders at epoch end."""
+        groups = {}
+        for it_ in iter_shuffled(dataset, seed=epoch):
+            vf, gt = it_[0], it_[-1]
+            t = clip_bucket_of(vf.shape[0])
+            groups.setdefault(t, []).append((vf, gt))
+            if len(groups[t]) == batch_size:
+                yield make_batch(groups.pop(t), t, batch_size)
+        for t, rows in groups.items():
+            n_real = len(rows)
+            while len(rows) < batch_size:
+                rows.append(rows[-1])
+            yield make_batch(rows, t, n_real)
+
+    # init from a peeked single-video batch (jit re-specializes per bucket)
+    it0 = dataset[0]
+    peek = make_batch([(it0[0], it0[-1])] * batch_size,
+                      clip_bucket_of(it0[0].shape[0]), batch_size)
+    feats, clip_mask, n_clips, gts, video_len = peek
     from vidsgg_big_tpu.train.grounding_data import prepare_grounding_gt
     prep = jax.vmap(lambda g, vl, r: prepare_grounding_gt(
         g, vl, cfg.num_pred_cats, r))(
-        gts, video_len, jax.random.split(jax.random.PRNGKey(0), len(rows0)))
-    params = model.init(jax.random.PRNGKey(args.seed), feats, clip_mask,
+        gts, jax.numpy.asarray(video_len),
+        jax.random.split(jax.random.PRNGKey(0), batch_size))
+    params = model.init(jax.random.PRNGKey(args.seed),
+                        jax.numpy.asarray(feats),
+                        jax.numpy.asarray(clip_mask),
                         prep["query_cats"], prep["temporal"],
                         prep["query_mask"])
     state = create_train_state(params, tx)
@@ -207,12 +252,11 @@ def train_grounding_stage(args):
     step = build_grounding_train_step(model, tx, donate=False)
     rng = jax.random.PRNGKey(args.seed + 1)
     it = int(state.step)
+    from vidsgg_big_tpu.data.prefetch import prefetch
     for epoch in range(start_epoch, total_epoch):
         losses = []
-        order = np.random.default_rng(epoch).permutation(len(items))
-        for s in range(0, len(items) - batch_size + 1, batch_size):
-            rows = [items[j] for j in order[s:s + batch_size]]
-            batch = make_batch(rows)
+        # prefetch overlaps host-side packing with the device step
+        for batch in prefetch(epoch_batches(epoch), size=2):
             rng, sub = jax.random.split(rng)
             state, metrics = step(state, *batch, sub)
             it += 1
@@ -228,20 +272,24 @@ def train_grounding_stage(args):
 
 
 def _generic_train(args, logger, writer, experiment_dir, model, bias,
-                   train_config, items, model_config):
+                   train_config, dataset, model_config):
     from vidsgg_big_tpu.train.steps import build_train_step
     batch_size = args.batch_size or train_config["batch_size"]
     total_epoch = args.epochs or train_config["total_epoch"]
-    iters_per_epoch = max(len(items) // batch_size, 1)
+    iters_per_epoch = max(len(dataset) // batch_size, 1)
     milestones = [m * iters_per_epoch
                   for m in train_config["epoch_lr_milestones"]]
     tx, sched = make_optimizer(train_config["initial_lr"],
                                train_config["lr_decay"], milestones)
-    feat_dim = items[0][0].features[0].shape[1]
+    # bounded memory: peek one record for shapes; epochs stream shuffled
+    # records from the per-video cache (never list(dataset))
+    row_of = lambda it: (it[-2], it[-1])
+    peek = row_of(dataset[0])
+    feat_dim = peek[0].features[0].shape[1]
     spec = BucketSpec(feat_dim=feat_dim,
                       p_bucket=model_config.get("max_preds", 128))
     mesh = make_mesh() if args.data_parallel else None
-    first = next(iter(bucketed_batches(items, spec, batch_size)))
+    first = next(iter(bucketed_batches([peek], spec, 1)))
     params = model.init(jax.random.PRNGKey(args.seed), first[2])
     params = model.load_tables(params, bias)
     state = create_train_state(params, tx)
@@ -258,7 +306,8 @@ def _generic_train(args, logger, writer, experiment_dir, model, bias,
         t0 = time.time()
         losses = []
         for key, rows, props, gts in prefetch(bucketed_batches(
-                items, spec, batch_size, shuffle=True, seed=epoch)):
+                iter_shuffled(dataset, seed=epoch, map_fn=row_of),
+                spec, batch_size)):
             if mesh is not None:
                 props = shard_batch(props, mesh)
                 gts = shard_batch(gts, mesh)

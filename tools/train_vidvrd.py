@@ -14,7 +14,8 @@ import jax
 from common import make_dataset, load_tables, load_side_tables
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger, MetricWriter
-from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
+from vidsgg_big_tpu.data.bucketing import (BucketSpec, bucketed_batches,
+                                           iter_shuffled)
 from vidsgg_big_tpu.data.prefetch import prefetch
 from vidsgg_big_tpu.models import BigC, BigCConfig
 from vidsgg_big_tpu.parallel.mesh import make_mesh, shard_batch, replicated
@@ -39,10 +40,14 @@ def train(args):
     dims = ({"dim_feat": model_config["dim_feat"],
              "dim_i3d": model_config.get("dim_i3d")}
             if getattr(args, "synthetic_model_dims", False) else {})
+    # an explicit --fmt wins (exp1 is PKU *without* I3D: --use_pku --fmt pku);
+    # --use_pku alone implies the flagship pku_i3d format; with neither, the
+    # dataset config's own fmt key applies (exp1=pku, exp2=pku_i3d, exp3=mega)
+    fmt = args.fmt or ("pku_i3d" if args.use_pku else None)
     dataset, ds_cfg = make_dataset(
         all_cfgs["train_dataset_config"], "vidvrd",
         synthetic=args.synthetic, synthetic_root=args.synthetic_root,
-        fmt="pku_i3d" if args.use_pku else args.fmt, **dims)
+        fmt=fmt, **dims)
     logger.info(f"dataset: {len(dataset)} videos")
 
     if getattr(args, "compute_dtype", None):
@@ -56,20 +61,22 @@ def train(args):
 
     batch_size = args.batch_size or train_config["batch_size"]
     total_epoch = args.epochs or train_config["total_epoch"]
-    items = list(dataset)
-    iters_per_epoch = max(len(items) // batch_size, 1)
+    iters_per_epoch = max(len(dataset) // batch_size, 1)
     milestones = [m * iters_per_epoch
                   for m in train_config["epoch_lr_milestones"]]
     tx, sched = make_optimizer(train_config["initial_lr"],
                                train_config["lr_decay"], milestones)
 
-    feat_dim = items[0][0].features[0].shape[1]
+    # bounded memory: peek one record for shapes; epochs stream shuffled
+    # records from the per-video cache (never list(dataset))
+    peek = dataset[0]
+    feat_dim = peek[0].features[0].shape[1]
     spec = BucketSpec(feat_dim=feat_dim, g_bucket=32,
                       p_bucket=model_config.get("max_preds", 128))
 
     mesh = make_mesh() if args.data_parallel else None
     # init params from the first bucket batch
-    first = next(iter(bucketed_batches(items, spec, batch_size)))
+    first = next(iter(bucketed_batches([peek], spec, 1)))
     params = model.init(jax.random.PRNGKey(args.seed), first[2])
     params = model.load_tables(params, bias)
     state = create_train_state(params, tx)
@@ -93,7 +100,7 @@ def train(args):
         t0 = time.time()
         epoch_losses = []
         for key, rows, props, gts in prefetch(bucketed_batches(
-                items, spec, batch_size, shuffle=True, seed=epoch)):
+                iter_shuffled(dataset, seed=epoch), spec, batch_size)):
             if mesh is not None:
                 props = shard_batch(props, mesh)
                 gts = shard_batch(gts, mesh)
@@ -126,7 +133,9 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg_path", type=str, required=True)
     parser.add_argument("--use_pku", action="store_true")
-    parser.add_argument("--fmt", type=str, default="mega")
+    parser.add_argument("--fmt", type=str, default=None,
+                        help="tracklet format (mega/pku/pku_i3d); default "
+                             "mega, or pku_i3d when --use_pku")
     parser.add_argument("--save_tag", type=str, default="")
     parser.add_argument("--from_checkpoint", action="store_true")
     parser.add_argument("--ckpt_path", type=str, default=None)

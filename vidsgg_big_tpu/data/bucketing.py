@@ -41,45 +41,61 @@ class BucketSpec:
         return n, t
 
 
+def iter_shuffled(dataset, seed: int = 0, map_fn=None):
+    """Yield ``dataset[i]`` over a fresh permutation — a streaming shuffle.
+
+    Records are loaded from the per-video cache at yield time, so a shuffled
+    epoch never materializes the split (unlike ``rng.shuffle(list(dataset))``,
+    which holds every video's features in host RAM at once).
+    """
+    rng = np.random.default_rng(seed)
+    for i in rng.permutation(len(dataset)):
+        rec = dataset[int(i)]
+        yield map_fn(rec) if map_fn is not None else rec
+
+
 def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
                      with_gt: bool = True, shuffle: bool = False, seed: int = 0,
-                     drop_last: bool = False):
+                     drop_last: bool = False, max_pending: int | None = None):
     """Yield (bucket_key, [records], TrackletBatch, GraphBatch|None).
 
     items: iterable of (VideoProposalRecord, VideoGTRecord|None).  Videos are
     grouped per bucket; each group is flushed when it reaches ``batch_size``
     (padded batches are never mixed across buckets).
+
+    This is a *streaming* grouper: full batches are yielded as soon as their
+    bucket fills, and at most ``max_pending`` records (default
+    ``max(8 * batch_size, 64)``) wait in partially-filled buckets — when the
+    cap is hit, the fullest bucket is flushed early as a padded batch.  Peak
+    host memory is therefore O(max_pending + batch) regardless of split size
+    (the reference's whole-split cache needs ~126 GB for VidOR-train,
+    reference README.md:74).  Pass a dataset iterator (e.g.
+    :func:`iter_shuffled`) rather than a list to benefit.
+
+    ``shuffle=True`` shuffles *record order* and requires materializing
+    ``items``; prefer ``iter_shuffled(dataset, seed)`` + ``shuffle=False``
+    for bounded-memory shuffled epochs.
     """
-    items = list(items)
     if shuffle:
+        items = list(items)
         rng = np.random.default_rng(seed)
         rng.shuffle(items)
-    groups = {}
-    order: List = []
-    for rec in items:
-        prop = rec[0]
-        key = spec.bucket_of(prop)
-        groups.setdefault(key, []).append(rec)
-        if len(groups[key]) == batch_size:
-            order.append((key, groups.pop(key), batch_size))
-    if not drop_last:
-        # flush remainders, padding the batch by repeating the last video so
-        # the compiled batch size stays fixed.  Repeats are *fully masked
-        # out* below so they contribute nothing to losses or metrics (each
-        # real video enters an epoch exactly once, like the reference).
-        for key, rows in groups.items():
-            n_real = len(rows)
-            while len(rows) % batch_size != 0:
-                rows.append(rows[-1])
-            for i in range(0, len(rows), batch_size):
-                order.append((key, rows[i:i + batch_size],
-                              min(batch_size, n_real - i)))
+    if max_pending is None:
+        max_pending = max(8 * batch_size, 64)
 
     import jax.numpy as jnp
     import ml_dtypes
     dtype = (ml_dtypes.bfloat16 if spec.feat_dtype == "bfloat16"
              else np.dtype(spec.feat_dtype))
-    for key, rows, n_real in order:
+
+    def emit(key, rows, n_real):
+        # pad the batch by repeating the last video so the compiled batch
+        # size stays fixed.  Repeats are *fully masked out* so they
+        # contribute nothing to losses or metrics (each real video enters
+        # an epoch exactly once, like the reference).
+        rows = list(rows)
+        while len(rows) % batch_size != 0:
+            rows.append(rows[-1])
         n, t = key
         props = stack_batches([
             pack_proposal(r[0], n, t, spec.feat_dim, dtype=dtype)
@@ -96,4 +112,31 @@ def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
                 gts = gts.replace(
                     traj_mask=gts.traj_mask & real[:, None],
                     pred_mask=gts.pred_mask & real[:, None])
-        yield key, rows[:n_real], props, gts
+        return key, rows[:n_real], props, gts
+
+    groups = {}
+    pending = 0
+    for rec in items:
+        prop = rec[0]
+        key = spec.bucket_of(prop)
+        groups.setdefault(key, []).append(rec)
+        pending += 1
+        if len(groups[key]) == batch_size:
+            yield emit(key, groups.pop(key), batch_size)
+            pending -= batch_size
+        elif pending >= max_pending:
+            # bound held records: flush the fullest partial bucket early
+            k2 = max(groups, key=lambda k: len(groups[k]))
+            rows = groups.pop(k2)
+            pending -= len(rows)
+            if not drop_last:
+                yield emit(k2, rows, len(rows))
+    for key, rows in groups.items():
+        if drop_last:
+            continue
+        n_real = len(rows)
+        while len(rows) % batch_size != 0:
+            rows.append(rows[-1])
+        for i in range(0, len(rows), batch_size):
+            yield emit(key, rows[i:i + batch_size],
+                       min(batch_size, n_real - i))

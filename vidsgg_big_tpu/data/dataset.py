@@ -278,6 +278,14 @@ class VidORDataset:
         return np.load(os.path.join(self.video_feature_dir,
                                     video_name + ".npy"))
 
+    def video_feature_len(self, video_name):
+        """Clip count of a video's I3D feature file, from the .npy header
+        only (no data read) — lets stage-B bucketing plan (Q, T) batches
+        without holding any feature array."""
+        m = np.load(os.path.join(self.video_feature_dir,
+                                 video_name + ".npy"), mmap_mode="r")
+        return int(m.shape[0])
+
     def __getitem__(self, idx):
         video_name = self.video_name_list[idx]
         prop, gt = self.get_data(video_name)

@@ -50,6 +50,12 @@ class VideoProposalRecord:
     def max_frames(self) -> int:
         return max((b.shape[0] for b in self.boxes), default=0)
 
+    def without_features(self) -> "VideoProposalRecord":
+        """Copy with the feature arrays dropped (features dominate a
+        record's footprint ~300:1 over boxes); keeps everything the
+        eval-format converters and stage-B grounding need."""
+        return dataclasses.replace(self, features=[])
+
 
 @dataclasses.dataclass
 class VideoGTRecord:
