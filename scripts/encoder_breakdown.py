@@ -32,13 +32,21 @@ from vidsgg_big_tpu.train.steps import build_infer_step  # noqa: E402
 B, N, T, DF, DI, E, Q = 8, 50, 256, 2048, 832, 512, 192
 
 
+def _sync(out):
+    # fetch a 1-element slice: the axon stream is FIFO so this bounds all
+    # prior executions while shipping ~nothing over the tunnel (fetching a
+    # full intermediate, e.g. 300 MB of patches, would swamp the timing)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(np.asarray(leaf[(slice(0, 1),) * leaf.ndim]).sum())
+
+
 def timeit(fn, *args, n=40):
     out = fn(*args)
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
+    _sync(out)
     return (time.perf_counter() - t0) / n * 1000.0
 
 

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--n", type=int, default=96)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--root", type=str, default="/tmp/rss_eval")
+    ap.add_argument("--platform", type=str, default="cpu",
+                    help="cpu, or axon to run the model on the TPU "
+                         "(RSS is host memory either way)")
+    ap.add_argument("--feat_dtype", type=str, default="float32")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -46,8 +50,15 @@ def main():
            "--use_pku", "--batch_size", str(args.batch_size),
            "--synthetic_root", os.path.join(args.root, "data"),
            "--output_dir", os.path.join(args.root, "out"),
+           "--feat_dtype", args.feat_dtype,
            "--save_tag", "rss"]
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ)
+    if args.platform == "axon":
+        env["JAX_PLATFORMS"] = "axon"
+        env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
+        cmd += ["--compute_dtype", "bfloat16"]
+    else:
+        env["JAX_PLATFORMS"] = "cpu"
     t0 = time.time()
     proc = subprocess.Popen(cmd, env=env, cwd=repo)
     peak = {"mb": 0}
