@@ -8,7 +8,7 @@ TPU-first design change (SURVEY.md §7.1).
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, List, Sequence, Tuple
+from typing import Iterable, Sequence, Tuple
 
 import numpy as np
 
@@ -83,7 +83,6 @@ def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
     if max_pending is None:
         max_pending = max(8 * batch_size, 64)
 
-    import jax.numpy as jnp
     import ml_dtypes
     dtype = (ml_dtypes.bfloat16 if spec.feat_dtype == "bfloat16"
              else np.dtype(spec.feat_dtype))
@@ -101,7 +100,9 @@ def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
             pack_proposal(r[0], n, t, spec.feat_dim, dtype=dtype)
             for r in rows])
         if n_real < len(rows):
-            real = jnp.arange(len(rows)) < n_real
+            # numpy mask: emit often runs on the prefetch producer thread,
+            # which must never touch the device (axon tunnel stall)
+            real = np.arange(len(rows)) < n_real
             props = props.replace(
                 traj_mask=props.traj_mask & real[:, None])
         gts = None

@@ -169,14 +169,18 @@ def pack_proposal(rec: VideoProposalRecord, n_bucket: int, t_bucket: int,
     scores[:n] = rec.scores
     mask[:n] = True
     stretch_idx = native.stretch_index(lengths, t_bucket)
+    # NOTE: leaves stay numpy — packing often runs on the prefetch producer
+    # thread, and implicit producer-thread H2D transfers stall the axon
+    # tunnel (the device_put lesson, data/prefetch.py).  The jit call (or
+    # prefetch's own device_put off-axon) transfers on the consumer side.
     return TrackletBatch(
-        feats=jnp.asarray(feats), boxes=jnp.asarray(boxes),
-        stretch_idx=jnp.asarray(stretch_idx), durations=jnp.asarray(durations),
-        cat_ids=jnp.asarray(cat_ids), scores=jnp.asarray(scores),
-        traj_mask=jnp.asarray(mask),
-        video_len=jnp.asarray(rec.video_len, jnp.int32),
-        video_wh=jnp.asarray(np.asarray(rec.video_wh, np.float32)),
-        feat_scale=jnp.asarray(feat_scale))
+        feats=feats, boxes=boxes,
+        stretch_idx=np.asarray(stretch_idx), durations=durations,
+        cat_ids=cat_ids, scores=scores,
+        traj_mask=mask,
+        video_len=np.asarray(rec.video_len, np.int32),
+        video_wh=np.asarray(rec.video_wh, np.float32),
+        feat_scale=feat_scale)
 
 
 def pack_gt(rec: VideoGTRecord, g_bucket: int, tg_bucket: int,
@@ -204,16 +208,26 @@ def pack_gt(rec: VideoGTRecord, g_bucket: int, tg_bucket: int,
     pred_durations[:p] = rec.pred_durations
     pred_mask[:p] = True
     adj[:, :p, :g] = rec.adj
+    # numpy leaves: see the note in pack_proposal
     return GraphBatch(
-        traj_cats=jnp.asarray(traj_cats),
-        traj_durations=jnp.asarray(traj_durations),
-        traj_boxes=jnp.asarray(traj_boxes), traj_mask=jnp.asarray(traj_mask),
-        pred_cats=jnp.asarray(pred_cats),
-        pred_durations=jnp.asarray(pred_durations),
-        pred_mask=jnp.asarray(pred_mask), adj=jnp.asarray(adj))
+        traj_cats=traj_cats,
+        traj_durations=traj_durations,
+        traj_boxes=traj_boxes, traj_mask=traj_mask,
+        pred_cats=pred_cats,
+        pred_durations=pred_durations,
+        pred_mask=pred_mask, adj=adj)
 
 
 def stack_batches(items):
-    """Stack a list of same-shaped pytrees along a new leading batch axis."""
+    """Stack a list of same-shaped pytrees along a new leading batch axis.
+
+    numpy leaves stack in numpy (host-side, producer-thread safe); device
+    leaves stack in jnp."""
     import jax
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *items)
+
+    def _stack(*xs):
+        if all(isinstance(x, np.ndarray) or np.isscalar(x) for x in xs):
+            return np.stack(xs, axis=0)
+        return jnp.stack(xs, axis=0)
+
+    return jax.tree_util.tree_map(_stack, *items)

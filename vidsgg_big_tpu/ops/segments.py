@@ -196,6 +196,7 @@ def stretch_conv_patches(x, idx, kernel_size: int = 3, stride: int = 2,
     import jax
 
     n, t, d = x.shape
+    idx = jnp.asarray(idx)   # batches carry numpy leaves outside jit
     t_out = (t + 2 * pad - kernel_size) // stride + 1
     cols = (stride * jnp.arange(t_out)[:, None]
             + jnp.arange(kernel_size)[None, :] - pad)        # (T_out, k)
