@@ -115,20 +115,42 @@ def pack_rows(rows, limits):
     return jnp.stack(words, axis=-1)
 
 
+# Below this many rows the dense O(M^2) dedup beats the lexsort on TPU
+# (module constant so benchmarks can force either path).
+_DENSE_DEDUP_MAX = 4096
+
+
 def unique_max(keys, scores, valid):
     """Deduplicate by key keeping the max-score representative (fixed shape).
 
     Args:
       keys: (M,) or (M, W) int32 group ids (multi-word keys from
         :func:`pack_rows` are compared lexicographically).
-      scores: (M,) float; within a key group the max-score element wins.
+      scores: (M,) float; within a key group the max-score element wins
+        (score ties: lowest index, i.e. a stable sort of -scores).
       valid: (M,) bool; invalid elements never win and never suppress.
 
     Returns:
       keep: (M,) bool — True for the single winner of each valid key group.
+
+    For small M the dense O(M^2) comparison beats the lexsort on TPU when
+    isolated (measured 1.07 vs 1.63 ms at B=8, M=1920: the eq-matrix is
+    pure VPU work, a sort is not).  Inside the full BIG-C infer program the
+    two are equal within tunnel noise (6.5 vs 6.6 ms interleaved A/B — XLA
+    overlaps the sort), so this is a latency hedge, not an e2e win.  Large
+    M (e.g. Base-C's all-pairs x topk) keeps the O(M log M) sort.
     """
     if keys.ndim == 1:
         keys = keys[:, None]
+    m = keys.shape[0]
+    if m <= _DENSE_DEDUP_MAX:
+        eq = jnp.all(keys[:, None, :] == keys[None, :, :], axis=-1)
+        eq = eq & valid[:, None] & valid[None, :]
+        idx = jnp.arange(m)
+        better = eq & ((scores[None, :] > scores[:, None]) |
+                       ((scores[None, :] == scores[:, None]) &
+                        (idx[None, :] < idx[:, None])))
+        return valid & ~better.any(-1)
     big = jnp.iinfo(keys.dtype).max
     k = jnp.where(valid[:, None], keys, big)
     # lexsort: last key is primary -> (score desc, key words minor->major)
