@@ -181,10 +181,14 @@ def test_grounding_remainder_padding_masked():
     (t2, _), g2 = jax.value_and_grad(loss2, has_aux=True)(params)
     (t3, _), g3 = jax.value_and_grad(loss3, has_aux=True)(params)
     np.testing.assert_allclose(float(t2), float(t3), rtol=1e-6)
+    # The loss is bit-equal, so the pad row contributes exactly zero; the
+    # weight grads differ only by f32 reduction-order noise (the B=2 and
+    # B=3 programs tile the batch-sum contraction differently; observed
+    # max |diff| ~8e-6 on grads of magnitude ~50, relative ~2e-7).
     for a, b in zip(jax.tree_util.tree_leaves(g2),
                     jax.tree_util.tree_leaves(g3)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-7)
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_grounding_decode_shapes_and_fallback():

@@ -4,6 +4,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from ..models.grounding import (
     GroundingModel, grounding_gt_labels, grounding_loss, grounding_decode)
@@ -17,21 +18,29 @@ def grounding_train_loss(model: GroundingModel, params, video_feats,
     """Full grounding loss for a batch (video_feats (B,T,D), gts GraphBatch)."""
     cfg = model.cfg
     b = video_feats.shape[0]
-    rng_neg, rng_do1, rng_do2 = jax.random.split(rng, 3)
+    rng_neg, rng_do = jax.random.split(rng)
     prep = jax.vmap(
         functools.partial(prepare_grounding_gt,
                           num_pred_cats=cfg.num_pred_cats))(
         gts, video_len, rng=jax.random.split(rng_neg, b))
 
     t = video_feats.shape[1]
-    out = model.apply(params, video_feats, clip_mask, prep["query_cats"],
-                      prep["temporal"], prep["query_mask"],
-                      deterministic=deterministic,
-                      rngs={"dropout": rng_do1})
-    neg_out = model.apply(params, video_feats, clip_mask,
-                          prep["neg_query_cats"], prep["temporal"],
-                          prep["query_mask"], deterministic=deterministic,
-                          rngs={"dropout": rng_do2})
+    # One forward over [positive ++ negative] query slots, like the
+    # reference's torch.cat (reference grd_model_v5.py:302).  Queries are
+    # row-independent so the split outputs equal two separate applies;
+    # step time is unchanged (XLA already CSE'd the query-independent
+    # video encoder across the two applies), but dropout now draws one
+    # stream over the concatenated queries as the reference does.
+    p = prep["query_cats"].shape[1]
+    cats2 = jnp.concatenate(
+        [prep["query_cats"], prep["neg_query_cats"]], axis=1)
+    temp2 = jnp.concatenate([prep["temporal"]] * 2, axis=1)
+    qm2 = jnp.concatenate([prep["query_mask"]] * 2, axis=1)
+    regrs, conf, cls = model.apply(params, video_feats, clip_mask, cats2,
+                                   temp2, qm2, deterministic=deterministic,
+                                   rngs={"dropout": rng_do})
+    out = (regrs[:, :p], conf[:, :p], cls[:, :p])
+    neg_out = (regrs[:, p:], conf[:, p:], cls[:, p:])
     labels = jax.vmap(
         functools.partial(grounding_gt_labels, t=t, num_bins=cfg.num_bins))(
         prep["target"], n_clips)
