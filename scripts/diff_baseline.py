@@ -46,8 +46,17 @@ EXPECTED = {
 
 
 def trunc(x: float, digits: int) -> float:
+    """Truncate to ``digits`` decimals, float-safely.
+
+    ``x * 10**digits`` can land one ulp *below* an integer (e.g.
+    0.0959669e7 == 959668.9999...), which a plain ``math.trunc`` would
+    floor to the wrong decimal — a measured metric exactly equal to a
+    published value would then report MISMATCH.  Nudge by a few ulps
+    before flooring.
+    """
     f = 10 ** digits
-    return math.trunc(x * f) / f
+    scaled = x * f
+    return math.floor(scaled + 1e-9 * max(1.0, abs(scaled))) / f
 
 
 def compare(exp: str, metrics: dict, tol_extra: float = 0.0):

@@ -12,7 +12,8 @@ from common import (make_dataset, load_tables, load_side_tables,
                     write_metrics_json)
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger
-from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
+from vidsgg_big_tpu.data.bucketing import (BucketSpec, bucketed_batches,
+                                           pick_unbounded)
 from vidsgg_big_tpu.models import BigC, BigCConfig
 from vidsgg_big_tpu.models.base_c import BaseC, BaseCConfig
 from vidsgg_big_tpu.models.grounding import GroundingConfig, GroundingModel
@@ -46,6 +47,17 @@ def evaluate_cls_stage(args, logger, all_cfgs):
         model_config = dict(model_config, compute_dtype=args.compute_dtype)
     infer_config = all_cfgs.get("inference_config", {})
     topk = args.topk or infer_config.get("topk", 10)
+    # `use_post`/`use_regr` are part of the reference's public config
+    # surface (reference experiments/exp4/config_.py:87-89) but vestigial:
+    # the 0v7 forward never branches on them (reference
+    # tools/eval_vidor_our_gt.py:47-56 reads them, then discards).  We
+    # accept and record them identically; warn on non-default values so a
+    # real-data rehearsal can't silently assume a behavior we don't have.
+    for k in ("use_post", "use_regr"):
+        if not infer_config.get(k, True):
+            logger.info(f"note: inference_config[{k!r}]={infer_config[k]} is "
+                        "accepted but has no effect (matches the reference, "
+                        "whose forward does not branch on it)")
     dataset, _ = make_dataset(all_cfgs["test_dataset_config"], "vidor",
                               synthetic=args.synthetic,
                               synthetic_root=args.synthetic_root)
@@ -127,20 +139,9 @@ def evaluate_cls_stage(args, logger, all_cfgs):
     return infer_results, rows_light, dataset
 
 
-GROUNDING_Q_LADDER = (32, 64, 128, 256, 512, 1024)
-
-
-def _q_bucket_of(m: int) -> int:
-    """Smallest Q bucket holding m unique triplets; the ladder extends by
-    doubling so no video is ever truncated (the reference handles any
-    n_uniq, reference tools/eval_vidor.py:226-253)."""
-    for q in GROUNDING_Q_LADDER:
-        if m <= q:
-            return q
-    q = GROUNDING_Q_LADDER[-1]
-    while q < m:
-        q *= 2
-    return q
+# Q (unique triplets) and T (clips) buckets share the grounding ladder —
+# one definition in data/bucketing.py so train and eval can never diverge
+_q_bucket_of = _t_bucket_of = pick_unbounded
 
 
 def _expand_bins(prop, quint, scores3, duras, pooled, bins_probs, bins_mask):
@@ -167,21 +168,6 @@ def _expand_bins(prop, quint, scores3, duras, pooled, bins_probs, bins_mask):
     return qq, scores[sel], np.stack([fs, fe], axis=-1)[sel]
 
 
-GROUNDING_T_LADDER = (32, 64, 128, 256, 512, 1024)
-
-
-def _t_bucket_of(n_clips: int) -> int:
-    """Smallest clip-count bucket for one video; doubles past the ladder so
-    no video pads every batch in the run to the global max (the reference
-    handles every video at its own length, reference
-    tools/eval_vidor.py:226-253)."""
-    for t in GROUNDING_T_LADDER:
-        if n_clips <= t:
-            return t
-    t = GROUNDING_T_LADDER[-1]
-    while t < n_clips:
-        t *= 2
-    return t
 
 
 def evaluate_combined(args, logger, all_cfgs, infer_results, rows, dataset):
@@ -323,7 +309,7 @@ def main(args):
         for prop, gt in rows:
             gt_relations.update(cvt.to_eval_format_gt(gt))
     if args.save_hit_infos:
-        hit_infos = eval_relation_with_gt(
+        *out, hit_infos = eval_relation_with_gt(
             dataset_type="vidor", logger=logger,
             prediction_results=predict_relations,
             gt_relations_path=args.gt_json, gt_relations=gt_relations,
@@ -337,9 +323,9 @@ def main(args):
             dataset_type="vidor", logger=logger,
             prediction_results=predict_relations,
             gt_relations_path=args.gt_json, gt_relations=gt_relations)
-        if getattr(args, 'metrics_json', None):
-            write_metrics_json(args.metrics_json, out)
-            logger.info(f"metrics json saved at {args.metrics_json}")
+    if getattr(args, 'metrics_json', None):
+        write_metrics_json(args.metrics_json, tuple(out))
+        logger.info(f"metrics json saved at {args.metrics_json}")
 
 
 if __name__ == "__main__":

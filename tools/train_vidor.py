@@ -13,7 +13,7 @@ from common import make_dataset, load_tables, load_side_tables
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger, MetricWriter
 from vidsgg_big_tpu.data.bucketing import (BucketSpec, bucketed_batches,
-                                           iter_shuffled)
+                                           iter_shuffled, pick_unbounded)
 from vidsgg_big_tpu.data.prefetch import prefetch
 from vidsgg_big_tpu.models import BigC, BigCConfig
 from vidsgg_big_tpu.models.base_c import BaseC, BaseCConfig, basec_train_loss
@@ -141,20 +141,9 @@ def train_baseline(args):
 
 
 # clip-count shape ladder for the grounding stage: each batch compiles at
-# its own T bucket instead of padding the whole run to the longest video
-# (the reference handles every video at its own length,
-# reference tools/eval_vidor.py:226-253)
-CLIP_T_LADDER = (32, 64, 128, 256, 512, 1024)
-
-
-def clip_bucket_of(n_clips: int) -> int:
-    for t in CLIP_T_LADDER:
-        if n_clips <= t:
-            return t
-    t = CLIP_T_LADDER[-1]
-    while t < n_clips:
-        t *= 2
-    return t
+# its own T bucket instead of padding the whole run to the longest video.
+# Shared with stage-B eval (data/bucketing.py) so train/eval buckets match.
+clip_bucket_of = pick_unbounded
 
 
 def train_grounding_stage(args):
@@ -215,14 +204,29 @@ def train_grounding_stage(args):
 
     def epoch_batches(epoch):
         """Stream shuffled videos into per-T-bucket batches; flush the
-        (padded, masked) remainders at epoch end."""
+        (padded, masked) remainders at epoch end.  At most ``max_pending``
+        videos' clip features wait in partial buckets — the fullest bucket
+        flushes early, padded+masked, so peak host memory stays O(batch)
+        like the bucketed loops (data/bucketing.py ``bucketed_batches``)."""
         groups = {}
+        pending = 0
+        max_pending = max(8 * batch_size, 64)
         for it_ in iter_shuffled(dataset, seed=epoch):
             vf, gt = it_[0], it_[-1]
             t = clip_bucket_of(vf.shape[0])
             groups.setdefault(t, []).append((vf, gt))
+            pending += 1
             if len(groups[t]) == batch_size:
                 yield make_batch(groups.pop(t), t, batch_size)
+                pending -= batch_size
+            elif pending >= max_pending:
+                t2 = max(groups, key=lambda k: len(groups[k]))
+                rows = groups.pop(t2)
+                pending -= len(rows)
+                n_real = len(rows)
+                while len(rows) < batch_size:
+                    rows.append(rows[-1])
+                yield make_batch(rows, t2, n_real)
         for t, rows in groups.items():
             n_real = len(rows)
             while len(rows) < batch_size:

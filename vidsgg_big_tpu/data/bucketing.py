@@ -26,6 +26,26 @@ def pick(value: int, ladder: Sequence[int]) -> int:
     return ladder[-1]
 
 
+# shared grounding-stage shape ladder (clip counts and unique-triplet
+# counts); one definition so train and eval buckets can never diverge
+GROUNDING_LADDER = (32, 64, 128, 256, 512, 1024)
+
+
+def pick_unbounded(value: int,
+                   ladder: Sequence[int] = GROUNDING_LADDER) -> int:
+    """Smallest ladder bucket holding ``value``; doubles past the top so no
+    video is ever truncated and no single long video pads the whole run to
+    a global max (the reference handles every video at its own length,
+    reference tools/eval_vidor.py:226-253)."""
+    for x in ladder:
+        if value <= x:
+            return x
+    x = ladder[-1]
+    while x < value:
+        x *= 2
+    return x
+
+
 @dataclasses.dataclass
 class BucketSpec:
     n_ladder: Sequence[int] = DEFAULT_N_LADDER
@@ -66,7 +86,9 @@ def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
     This is a *streaming* grouper: full batches are yielded as soon as their
     bucket fills, and at most ``max_pending`` records (default
     ``max(8 * batch_size, 64)``) wait in partially-filled buckets — when the
-    cap is hit, the fullest bucket is flushed early as a padded batch.  Peak
+    cap is hit, the fullest bucket is flushed early as a padded batch
+    (regardless of ``drop_last``, which only drops the end-of-stream
+    remainder).  Peak
     host memory is therefore O(max_pending + batch) regardless of split size
     (the reference's whole-split cache needs ~126 GB for VidOR-train,
     reference README.md:74).  Pass a dataset iterator (e.g.
@@ -126,12 +148,14 @@ def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
             yield emit(key, groups.pop(key), batch_size)
             pending -= batch_size
         elif pending >= max_pending:
-            # bound held records: flush the fullest partial bucket early
+            # bound held records: flush the fullest partial bucket early.
+            # Always yielded (padded+masked) even under drop_last — that
+            # flag governs only the end-of-stream remainder; discarding
+            # here would silently skip records mid-epoch.
             k2 = max(groups, key=lambda k: len(groups[k]))
             rows = groups.pop(k2)
             pending -= len(rows)
-            if not drop_last:
-                yield emit(k2, rows, len(rows))
+            yield emit(k2, rows, len(rows))
     for key, rows in groups.items():
         if drop_last:
             continue

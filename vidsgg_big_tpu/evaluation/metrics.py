@@ -213,5 +213,5 @@ def eval_relation_with_gt(dataset_type=None, logger=None,
     log(f"detection recall: {rec_at_n}")
     log(f"tagging precision: {mprec_at_n}")
     if return_hit_infos:
-        return hit_infos
+        return mean_ap, rec_at_n, mprec_at_n, hit_infos
     return mean_ap, rec_at_n, mprec_at_n
