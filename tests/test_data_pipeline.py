@@ -264,6 +264,37 @@ def test_bucketed_batches_streams_with_bounded_pending():
         assert all(mask[i].any() for i in range(len(rows)))
 
 
+def test_bucketed_batches_drop_last_keeps_early_flushes():
+    """drop_last governs only the end-of-stream remainder: records flushed
+    early by the max_pending cap must still be yielded (padded+masked), not
+    silently discarded mid-epoch."""
+    from vidsgg_big_tpu.data.synthetic import make_video
+
+    recs = []
+    for i in range(24):
+        p, g = make_video(i, video_len=40 if i % 3 else 100,
+                          n_preds=3, n_gt_trajs=3,
+                          feat_dim=16, num_enti_cats=8, num_pred_cats=10)
+        recs.append((p, g))
+    spec = BucketSpec(n_ladder=(8, 16), t_ladder=(64, 128), g_bucket=8,
+                      p_bucket=8, feat_dim=16)
+
+    batches = list(bucketed_batches(iter(recs), spec, batch_size=4,
+                                    max_pending=8, drop_last=True))
+    seen = [p.video_name for _, rows, _, _ in batches for p, _ in rows]
+    assert len(seen) == len(set(seen))
+    all_names = {p.video_name for p, _ in recs}
+    # without drop_last every record appears; with it, only the final
+    # (post-cap) partial buckets may be missing — strictly fewer than one
+    # batch per bucket key in flight at stream end
+    missing = all_names - set(seen)
+    n_buckets = len({spec.bucket_of(p) for p, _ in recs})
+    assert len(missing) < 4 * n_buckets
+    # the early-flush path must have fired and its records been kept:
+    # more than (24 - max_pending) records must survive
+    assert len(seen) >= len(recs) - 4 * n_buckets
+
+
 def test_prepare_bias_matrix_and_classeme():
     from vidsgg_big_tpu.data import prepare
     from vidsgg_big_tpu.data.synthetic import make_video
