@@ -98,6 +98,36 @@ def test_grounding_config_matches_reference(subdir, fname):
                              f"{fname}.{dict_name}")
 
 
+DEMO_PRESETS = ["pku_train", "pku_test", "pku_i3d_train", "pku_i3d_test",
+                "vidvrd_train", "vidvrd_test"]
+
+
+@pytest.mark.parametrize("preset", DEMO_PRESETS)
+def test_demo_preset_matches_reference(preset):
+    """The demo config's dataset presets (reference
+    experiments/demo/config_.py, read by reference tools/dataloader_demo.py:40
+    via ``f"{dataset_class}_{split}_dataset_config"``) must carry the
+    reference's non-path values."""
+    ref, ours = _load_pair("demo", "config_.py")
+    name = f"{preset}_dataset_config"
+    assert name in ref, f"reference demo config lost {name}?"
+    assert name in ours, f"demo config missing preset {name}"
+    _assert_dict_matches(ref[name], ours[name], f"demo.{name}")
+
+
+def test_exp6_rt200_matches_reference():
+    """exp6's rt200 variant (reference experiments/exp6/config_rt200.py:13,
+    rt_triplets_topk=200) — the paper's 'rt200' Base-C row."""
+    ref, ours = _load_pair("exp6", "config_rt200.py")
+    for dict_name in CONFIG_DICTS:
+        if dict_name not in ref:
+            continue
+        assert dict_name in ours, f"exp6_rt200: missing {dict_name}"
+        _assert_dict_matches(ref[dict_name], ours[dict_name],
+                             f"exp6_rt200.{dict_name}")
+    assert ours["model_config"]["rt_triplets_topk"] == 200
+
+
 def test_exp4_exp5_true_decoder_geometry():
     """The published VidOR BIG-C is 6-enc/4-dec (reference
     experiments/exp4/config_.py:14-15) — pin it explicitly so a refactor of

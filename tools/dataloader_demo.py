@@ -17,6 +17,12 @@ def main():
     parser.add_argument("--dataset_type", type=str, default="vidvrd",
                         choices=["vidvrd", "vidor"])
     parser.add_argument("--split", type=str, default="test")
+    parser.add_argument("--dataset_class", type=str, default=None,
+                        help="reference-style preset selector (pku|pku_i3d|"
+                        "vidvrd|vidor): reads the config key "
+                        "{dataset_class}_{split}_dataset_config, as "
+                        "reference tools/dataloader_demo.py:40 does with "
+                        "experiments/demo/config_.py")
     parser.add_argument("--fmt", type=str, default=None,
                         help="vidvrd tracklet format: mega|pku|pku_i3d")
     parser.add_argument("--synthetic", type=int, default=0,
@@ -26,9 +32,15 @@ def main():
 
     if args.cfg_path:
         all_cfgs = parse_config_py(args.cfg_path)
-        key = ("train_dataset_config" if args.split.startswith("train")
-               else "test_dataset_config")
-        dataset_config = all_cfgs[key]
+        if args.dataset_class:
+            dataset_config = all_cfgs[
+                f"{args.dataset_class}_{args.split}_dataset_config"]
+            if args.dataset_class == "vidor":
+                args.dataset_type = "vidor"
+        else:
+            key = ("train_dataset_config" if args.split.startswith("train")
+                   else "test_dataset_config")
+            dataset_config = all_cfgs[key]
     else:
         dataset_config = {"split": args.split}
 
