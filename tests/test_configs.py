@@ -128,6 +128,41 @@ def test_exp6_rt200_matches_reference():
     assert ours["model_config"]["rt_triplets_topk"] == 200
 
 
+def test_model_configs_build_from_experiment_files():
+    """Plumbing gate: every experiment's ``model_config`` dict constructs the
+    matching model-config object with the file's geometry (the reference
+    passes these dicts straight into the model constructors —
+    reference tools/train_vidvrd.py:75, train_vidor.py:389)."""
+    from vidsgg_big_tpu.models import BigCConfig
+    from vidsgg_big_tpu.models.base_c import BaseCConfig
+    from vidsgg_big_tpu.models.grounding import GroundingConfig
+
+    for exp, variant in [("exp1", "v10"), ("exp2", "v10"), ("exp3", "v10"),
+                         ("exp4", "v7"), ("exp5", "v7")]:
+        d = parse_config_py(
+            os.path.join(OUR_ROOT, exp, "config_.py"))["model_config"]
+        cfg = BigCConfig.from_dict(d, variant=variant)
+        assert cfg.n_enco_layers == d["n_enco_layers"], exp
+        assert cfg.n_deco_layers == d["n_deco_layers"], exp
+        assert cfg.dim_feat == d["dim_feat"], exp
+        assert cfg.num_querys == d["num_querys"], exp
+        assert cfg.dim_i3d == d.get("dim_i3d"), exp
+
+    for fname in ("config_.py", "config_rt200.py"):
+        d6 = parse_config_py(
+            os.path.join(OUR_ROOT, "exp6", fname))["model_config"]
+        cfg6 = BaseCConfig.from_dict(d6)
+        assert cfg6.dim_feat == d6["dim_feat"], fname
+        assert cfg6.rt_triplets_topk == d6["rt_triplets_topk"], fname
+
+    for fname in ("config_.py", "config_bin1.py", "config_bin5.py"):
+        dg = parse_config_py(os.path.join(
+            OUR_ROOT, "grounding_weights", fname))["model_config"]
+        cfgg = GroundingConfig.from_dict(dg)
+        assert cfgg.num_bins == dg["num_bins"], fname
+        assert cfgg.dim_feat == dg["dim_feat"], fname
+
+
 def test_exp4_exp5_true_decoder_geometry():
     """The published VidOR BIG-C is 6-enc/4-dec (reference
     experiments/exp4/config_.py:14-15) — pin it explicitly so a refactor of

@@ -393,3 +393,77 @@ def test_vidor_test_split_annotation_free(tmp_path):
     # second pass must hit the per-video .npz cache (incl. the None GT)
     vf, prop, gt = ds[0]
     assert gt is None and prop.video_len == 40
+
+
+def test_vidor_v3_ingestion_matches_reference(tmp_path, reference_utils):
+    """End-to-end VidOR-val ingestion parity vs the reference v3 loader:
+    per-video proposals (classeme-concat features, score clipping, top-k)
+    and GT graphs from the same on-disk files must match
+    ``dataloader_vidor_v3.Dataset._get_proposal`` / ``_get_gt_graph``
+    (reference dataloaders/dataloader_vidor_v3.py:389-621) exactly."""
+    from vidsgg_big_tpu.data.synthetic_raw import write_synthetic_vidor
+    from vidsgg_big_tpu.data.dataset import VidORDataset
+
+    np.float = float
+    np.int = int
+    sys.path.insert(0, "/root/reference")
+    try:
+        from dataloaders import dataloader_vidor_v3 as ref_v3
+    finally:
+        sys.path.remove("/root/reference")
+
+    dim_feat = 24
+    cfg = write_synthetic_vidor(str(tmp_path), n_videos=4, split="val",
+                                dim_feat=dim_feat, video_len=70,
+                                with_video_features=False)
+    ds = VidORDataset(**cfg)
+    assert len(ds) == 4
+
+    ns = types.SimpleNamespace(
+        videoname2trackres=lambda vn: os.path.join(
+            cfg["proposal_dir"], vn + ".npy"),
+        classeme_dir=cfg["classeme_dir"], dim_boxfeature=dim_feat,
+        min_frames_th=cfg["min_frames_th"],
+        max_proposal=cfg["max_proposal"], score_th=cfg["score_th"],
+        max_preds=cfg["max_preds"], split="val",
+        video_ann_dir=os.path.join(cfg["ann_dir"], "validation"),
+        enti_CatName2Id=ref_v3.vidor_CatName2Id,
+        pred_CatName2Id=ref_v3.vidor_PredName2Id)
+
+    for name in ds.video_name_list:
+        ref_prop = ref_v3.Dataset._get_proposal(ns, name)
+        ref_gt = ref_v3.Dataset._get_gt_graph(ns, name)
+        prop, gt = ds.get_data(name)
+
+        assert prop.num_proposals == ref_prop.num_proposals, name
+        np.testing.assert_array_equal(prop.cat_ids,
+                                      ref_prop.cat_ids.numpy())
+        np.testing.assert_allclose(prop.scores, ref_prop.scores.numpy(),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(prop.durations,
+                                      ref_prop.traj_durations.numpy())
+        for i in range(prop.num_proposals):
+            np.testing.assert_allclose(
+                prop.boxes[i], ref_prop.bboxes_list[i].numpy(), rtol=1e-6)
+            # features carry the classeme concat (roi dim_feat + 300 glove)
+            assert prop.features[i].shape[1] == dim_feat + 300
+            np.testing.assert_allclose(
+                prop.features[i], ref_prop.features_list[i].numpy(),
+                rtol=1e-6)
+
+        assert gt.num_trajs == ref_gt.num_trajs
+        assert gt.num_preds == ref_gt.num_preds
+        assert gt.video_len == ref_gt.video_len
+        assert tuple(gt.video_wh) == tuple(ref_gt.video_wh)
+        np.testing.assert_array_equal(gt.traj_cat_ids,
+                                      ref_gt.traj_cat_ids.numpy())
+        np.testing.assert_array_equal(gt.traj_durations,
+                                      ref_gt.traj_durations.numpy())
+        np.testing.assert_array_equal(gt.pred_cat_ids,
+                                      ref_gt.pred_cat_ids.numpy())
+        np.testing.assert_allclose(gt.pred_durations,
+                                   ref_gt.pred_durations.numpy())
+        np.testing.assert_array_equal(gt.adj, ref_gt.adj_matrix.numpy())
+        for i in range(gt.num_trajs):
+            np.testing.assert_allclose(
+                gt.traj_boxes[i], ref_gt.traj_bboxes[i].numpy(), rtol=1e-6)

@@ -458,7 +458,7 @@ def test_converted_checkpoint_drives_eval_cli(reference_bigc, tmp_path):
     pth = tmp_path / "ref.pth"
     torch.save(tmodel.state_dict(), pth)
 
-    demo_cfg = os.path.join(repo, "experiments", "demo", "config_.py")
+    demo_cfg = os.path.join(repo, "experiments", "demo", "config_smoke_.py")
     out = tmp_path / "converted"
     cc.convert(argparse.Namespace(
         torch_ckpt=str(pth), cfg_path=demo_cfg, model="bigc_vidvrd",
@@ -525,3 +525,107 @@ def test_train_loss_parity(reference_bigc, tmp_path, variant, kw):
     for k in ("cls_pos", "cls_neg", "adj"):
         np.testing.assert_allclose(float(ld[k]), float(ld_ref[k]), rtol=3e-4,
                                    err_msg=k)
+
+
+@pytest.mark.parametrize("variant,kw", [CASES[0], CASES[2]],
+                         ids=["v10_i3d", "v7_emb"])
+def test_gradient_parity(reference_bigc, tmp_path, variant, kw):
+    """Training-dynamics parity, part 1: d(total loss)/d(params) equals
+    torch autograd through the reference model.
+
+    The transplant mapping is per-tensor linear (transpose/reshape/slice),
+    so running the torch ``.grad`` tensors through the same mapping yields
+    the gradients in our parameter layout; frozen reference tables
+    (EntiNameEmb, v7 pos_embedding — requires_grad=False, reference
+    models/model_0v10.py:268 / model_0v7.py:273,286) fall out into the
+    constructor tables on both sides.
+    """
+    import jax
+    import torch
+    tmodel, cfg, model, variables, vids, batch, out = _transplanted(
+        reference_bigc, tmp_path, variant, kw)
+
+    total_ref, _ = tmodel([_duck_proposal(p) for p, _ in vids],
+                          [_duck_gt(g) for _, g in vids])
+    total_ref.backward()
+    grad_sd = {k: (p.grad if p.grad is not None else torch.zeros_like(p))
+               for k, p in tmodel.named_parameters()}
+    grad_ref, _ = bigc_params_from_torch(grad_sd, cfg)
+
+    gts = stack_batches(
+        [pack_gt(g, g_bucket=6, tg_bucket=T, p_bucket=8) for _, g in vids])
+
+    def objective(v):
+        return bigc_train_loss(model.apply(v, batch), batch, gts, cfg)[0]
+
+    grad_ours = jax.grad(objective)(variables)
+
+    import flax
+    flat_ours = flax.traverse_util.flatten_dict(grad_ours["params"])
+    flat_ref = flax.traverse_util.flatten_dict(grad_ref["params"])
+    assert set(flat_ours) == set(flat_ref)
+    for k in sorted(flat_ours):
+        ref = np.asarray(flat_ref[k], np.float64)
+        got = np.asarray(flat_ours[k], np.float64)
+        # near-zero elements carry fp noise with large *relative* error;
+        # bound them by a per-tensor absolute floor instead
+        scale = max(1e-3, float(np.abs(ref).max()))
+        np.testing.assert_allclose(
+            got, ref, rtol=2e-3, atol=1e-3 * scale,
+            err_msg="/".join(k))
+        # direction check for tensors with a real gradient signal (e.g. the
+        # key-projection *bias* has a mathematically-zero gradient — softmax
+        # is shift-invariant — leaving pure fp noise there)
+        if np.linalg.norm(ref) > 1e-4:
+            cos = float((ref * got).sum() /
+                        (np.linalg.norm(ref) * np.linalg.norm(got)))
+            assert cos > 0.9999, ("/".join(k), cos)
+
+
+def test_optimizer_trajectory_parity():
+    """Training-dynamics parity, part 2: the optimizer chain (global-norm
+    clip 5.0 -> Adam -> per-iteration MultiStepLR; reference
+    tools/train_vidvrd.py:123-164) produces torch-identical parameter
+    trajectories — including a step whose gradient norm exceeds the clip
+    and the lr-milestone crossing."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import optax
+    from vidsgg_big_tpu.train.train_state import make_optimizer
+
+    rng = np.random.default_rng(0)
+    shapes = {"a": (7,), "b": (3, 5)}
+    p0 = {k: rng.normal(size=s).astype(np.float32) for k, s in shapes.items()}
+    # step 2 has an oversized gradient so the global-norm clip engages
+    grads = [{k: (rng.normal(size=s) * (10.0 if i == 2 else 1.0)).astype(
+        np.float32) for k, s in shapes.items()} for i in range(6)]
+    lr, gamma, milestone = 0.1, 0.2, 4
+
+    tparams = {k: torch.nn.Parameter(torch.tensor(v.copy()))
+               for k, v in p0.items()}
+    opt = torch.optim.Adam(list(tparams.values()), lr=lr)
+    sch = torch.optim.lr_scheduler.MultiStepLR(
+        opt, milestones=[milestone], gamma=gamma)
+    t_traj = []
+    for g in grads:
+        opt.zero_grad()
+        for k in tparams:
+            tparams[k].grad = torch.tensor(g[k].copy())
+        torch.nn.utils.clip_grad_norm_(list(tparams.values()), 5.0)
+        opt.step()
+        sch.step()
+        t_traj.append({k: v.detach().numpy().copy()
+                       for k, v in tparams.items()})
+
+    tx, _ = make_optimizer(lr, gamma, [milestone])
+    params = {k: jnp.asarray(v) for k, v in p0.items()}
+    state = tx.init(params)
+    for i, g in enumerate(grads):
+        upd, state = tx.update({k: jnp.asarray(v) for k, v in g.items()},
+                               state, params)
+        params = optax.apply_updates(params, upd)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(params[k]), t_traj[i][k], rtol=2e-5, atol=1e-6,
+                err_msg=f"step {i} param {k}")
