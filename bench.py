@@ -467,11 +467,10 @@ def main():
     def _serving():
         extra["serving_b32_videos_per_sec"] = round(bench_serving_b32(), 1)
 
-    run_stage("train step", 400, _train)
-    run_stage("grounding inference", 300, _grounding)
-    run_stage("grounding train step", 350, _grounding_train)
-    run_stage("VidOR-geometry inference", 250, _vidor)
-    run_stage("serving B=32 (Pallas role-attn auto-engaged)", 250, _serving)
+    # Measure the torch reference immediately after the headline stage: it is
+    # CPU-only and cheap (~1 min), and vs_baseline depends on nothing else —
+    # when it ran last, a slow tunnel window could eat the whole budget and
+    # gate out the denominator of the headline ratio.
     try:
         if left() < 120:
             raise TimeoutError(f"{left():.0f}s left")
@@ -480,6 +479,12 @@ def main():
     except Exception as e:
         print(f"reference baseline skipped/failed: {e!r}", file=sys.stderr)
         ref = None
+
+    run_stage("train step", 400, _train)
+    run_stage("grounding inference", 300, _grounding)
+    run_stage("grounding train step", 350, _grounding_train)
+    run_stage("VidOR-geometry inference", 250, _vidor)
+    run_stage("serving B=32 (Pallas role-attn auto-engaged)", 250, _serving)
     if ref:
         vs = round(ours / ref, 2)
     else:
