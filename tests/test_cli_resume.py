@@ -64,3 +64,81 @@ def test_train_vidor_resume(tmp_path_factory, tools_path):
     state3 = train_vidor.train_cls_stage(
         _args(str(cfg_path), root, epochs=2, from_checkpoint=True))
     assert int(state3.step) == 4
+
+
+BASELINE_CONFIG = """
+model_config = dict(
+    num_enti_cats=81, num_pred_cats=51, dim_feat=364, dim_clsme=300,
+    dim_enti=32, dim_ffn=32, enco_pool_len=4, use_clsme=True,
+    EntiNameEmb_path=None, bias_matrix_path=None, max_preds=16)
+train_dataset_config = dict(split="train")
+test_dataset_config = dict(split="val")
+train_config = dict(batch_size=2, total_epoch=2, initial_lr=1e-4,
+                    lr_decay=0.2, epoch_lr_milestones=[50])
+inference_config = dict(topk=3)
+"""
+
+
+def test_train_vidor_baseline_resume(tmp_path_factory, tools_path):
+    """Kill-and-resume through the --train_baseline CLI path (the other two
+    train_vidor modes share _maybe_resume but run distinct train loops —
+    reference tools/train_vidor.py:281-282 resumes in every mode)."""
+    tmp = tmp_path_factory.mktemp("resume_base")
+    cfg_path = tmp / "config_.py"
+    cfg_path.write_text(BASELINE_CONFIG)
+    root = str(tmp / "synth")
+    import train_vidor
+
+    state1 = train_vidor.train_baseline(_args(str(cfg_path), root, epochs=1,
+                                              train_baseline=True))
+    s1 = int(state1.step)
+    assert s1 >= 2          # 4 videos / batch 2 (bucket splits may add one)
+
+    state2 = train_vidor.train_baseline(_args(
+        str(cfg_path), root, epochs=1, from_checkpoint=True,
+        train_baseline=True))
+    assert int(state2.step) == s1          # pure restore
+
+    state3 = train_vidor.train_baseline(_args(
+        str(cfg_path), root, epochs=2, from_checkpoint=True,
+        train_baseline=True))
+    assert int(state3.step) > s1           # continued past the restore
+
+
+GROUNDING_CONFIG = """
+model_config = dict(
+    dim_feat=1024, dim_clsme=300, dim_hidden=32, num_bins=2,
+    num_pred_cats=51, num_enti_cats=81, max_preds=16,
+    loss_factor=dict(classification=1.0, centerness=1.0, regression=1.0))
+train_dataset_config = dict(split="train")
+test_dataset_config = dict(split="val")
+train_config = dict(batch_size=2, total_epoch=2, initial_lr=1e-4,
+                    lr_decay=0.2, epoch_lr_milestones=[50])
+inference_config = dict(topk=3)
+"""
+
+
+def test_train_vidor_grounding_resume(tmp_path_factory, tools_path):
+    """Kill-and-resume through the --train_grounding CLI path (exercises the
+    clip-bucketed epoch stream + prefetch loop end-to-end on synthetic
+    video features)."""
+    tmp = tmp_path_factory.mktemp("resume_grd")
+    cfg_path = tmp / "config_.py"
+    cfg_path.write_text(GROUNDING_CONFIG)
+    root = str(tmp / "synth")
+    import train_vidor
+
+    state1 = train_vidor.train_grounding_stage(_args(
+        str(cfg_path), root, epochs=1, train_grounding=True))
+    s1 = int(state1.step)
+    assert s1 == 2          # all synthetic videos share one clip bucket
+
+    state2 = train_vidor.train_grounding_stage(_args(
+        str(cfg_path), root, epochs=1, from_checkpoint=True,
+        train_grounding=True))
+    assert int(state2.step) == s1
+
+    state3 = train_vidor.train_grounding_stage(_args(
+        str(cfg_path), root, epochs=2, from_checkpoint=True,
+        train_grounding=True))
+    assert int(state3.step) == 2 * s1
