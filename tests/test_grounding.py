@@ -474,3 +474,79 @@ def test_grounding_bf16_compute_close_to_f32():
     err = np.abs(a - b_)
     assert np.median(err) < 0.01
     assert (err > 0.2).mean() < 0.01, (err > 0.2).mean()
+
+
+def test_grounding_stable_head_init_defuses_saturation():
+    """Opt-in ``stable_head_init`` (beyond the reference): at the reference's
+    default init the head sigmoids are saturated — measured mean |logit| ≈ 34
+    on the torch reference itself (docs/ROUND3.md) — which stalls
+    from-scratch regression; the flag down-scales the final head kernels so
+    logits start O(1) and regression converges immediately.  Default off =
+    reference-faithful bit-for-bit (pinned by the transplant parity tests).
+    """
+    from vidsgg_big_tpu.train.grounding_steps import (
+        build_grounding_train_step)
+    from vidsgg_big_tpu.train.train_state import (make_optimizer,
+                                                  create_train_state)
+
+    b, t, q = 2, 12, 3
+    rng0 = np.random.default_rng(3)
+    feats = jnp.asarray(rng0.normal(size=(b, t, CFG.dim_feat)).astype(
+        np.float32))
+    clip_mask = np.ones((b, t), bool)
+    qc = jnp.asarray(rng0.integers(1, 7, size=(b, q, 3)).astype(np.int32))
+    lo = rng0.uniform(0, 0.4, size=(b, q, 1))
+    temp = jnp.asarray(np.concatenate(
+        [lo, lo + rng0.uniform(0.2, 0.5, size=(b, q, 1))], -1).astype(
+            np.float32))
+    qm = np.ones((b, q), bool)
+
+    def init_logit_mag(cfg):
+        model = GroundingModel(cfg)
+        params = model.init(jax.random.PRNGKey(0), feats, clip_mask, qc,
+                            temp, qm)
+        rr = np.asarray(model.apply(params, feats, clip_mask, qc, temp, qm)[0],
+                        np.float64)
+        lg = np.log(np.clip(rr, 1e-30, 1 - 1e-7) /
+                    np.clip(1 - rr, 1e-30, None))
+        return np.abs(lg).mean(), model, params
+
+    sat_mag, _, _ = init_logit_mag(CFG)
+    assert sat_mag > 8.0, sat_mag            # the documented reference regime
+
+    cfg = GroundingConfig(dim_feat=24, dim_clsme=16, dim_hidden=16,
+                          num_bins=4, num_pred_cats=10, num_enti_cats=8,
+                          stable_head_init=True)
+    stable_mag, model, params = init_logit_mag(cfg)
+    # O(1)-ish logits (this test's trunk is tiny, dim_hidden=16, which
+    # amplifies more per unit than the real 128-d config, where the same
+    # probe measures ≈1); the contrast vs the saturated regime is the point
+    assert stable_mag < 6.0, stable_mag
+    assert stable_mag < sat_mag / 3.0, (stable_mag, sat_mag)
+
+    # from-scratch regression moves immediately (it is stuck ~flat in the
+    # saturated regime — measured over 1200 steps, docs/ROUND3.md)
+    vids = [make_video(s, video_len=40, feat_dim=8, n_gt_trajs=3, n_preds=3,
+                       n_distractors=0, num_enti_cats=8, num_pred_cats=10)
+            for s in range(b)]
+    gts = stack_batches([pack_gt(g, g_bucket=6, tg_bucket=48, p_bucket=4)
+                         for _, g in vids])
+    video_len = jnp.asarray([g.video_len for _, g in vids], jnp.int32)
+    n_clips = np.full((b,), t, np.int32)
+    qprep = jax.vmap(lambda g, vl, r: prepare_grounding_gt(
+        g, vl, cfg.num_pred_cats, r))(
+        gts, video_len, jax.random.split(jax.random.PRNGKey(7), b))
+    params = model.init(jax.random.PRNGKey(0), feats, clip_mask,
+                        qprep["query_cats"], qprep["temporal"],
+                        qprep["query_mask"])
+    tx, _ = make_optimizer(3e-3, 0.2, [100000])
+    state = create_train_state(params, tx)
+    step = build_grounding_train_step(model, tx, donate=False)
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for i in range(100):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, feats, clip_mask, n_clips, gts, video_len, sub)
+        if i == 0:
+            first = float(m["regr"])
+    assert float(m["regr"]) < min(1.0, 0.7 * first), (first, float(m["regr"]))

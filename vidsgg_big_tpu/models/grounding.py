@@ -53,6 +53,14 @@ class GroundingConfig:
     # HBM-bandwidth bound; bfloat16 roughly halves its traffic).  Params stay
     # float32; layernorms and softmaxes compute in float32.
     compute_dtype: str = "float32"
+    # Opt-in (beyond the reference): down-scale the three heads' final conv
+    # kernels at init.  At the reference's default init the head logits are
+    # saturated (mean |regr logit| ≈ 34 measured on the torch reference
+    # itself — the concat-of-products sim fusion amplifies activations;
+    # docs/ROUND3.md), which stalls from-scratch regression learning until
+    # the BCE losses have descaled the trunk.  Default False = reference-
+    # faithful init; transplanted checkpoints are unaffected either way.
+    stable_head_init: bool = False
 
     @classmethod
     def from_dict(cls, d: dict):
@@ -64,17 +72,19 @@ class GroundingConfig:
                    loss_cls=lf.get("classification", 1.0),
                    loss_ctn=lf.get("centerness", 1.0),
                    loss_reg=lf.get("regression", 1.0),
-                   compute_dtype=d.get("compute_dtype", "float32"))
+                   compute_dtype=d.get("compute_dtype", "float32"),
+                   stable_head_init=d.get("stable_head_init", False))
 
 
 class _ConvParams(nn.Module):
     """Parameter container matching nn.Conv's {kernel, bias} scope layout."""
     kernel_shape: tuple
     bias_shape: tuple
+    kernel_init: callable = kaiming
 
     @nn.compact
     def __call__(self):
-        return (self.param("kernel", kaiming, self.kernel_shape),
+        return (self.param("kernel", self.kernel_init, self.kernel_shape),
                 self.param("bias", nn.initializers.zeros, self.bias_shape))
 
 
@@ -95,6 +105,7 @@ class DepthwiseSeparableConv(nn.Module):
     kernel_size: int
     dtype: Optional[jnp.dtype] = None
     fuse_dense: bool = True
+    pw_kernel_init: callable = kaiming   # point-wise kernel init
 
     @nn.compact
     def __call__(self, x):
@@ -106,7 +117,9 @@ class DepthwiseSeparableConv(nn.Module):
             # (checkpoints and torch transplants are unaffected)
             dwk, dwb = _ConvParams((k, 1, c_in), (c_in,), name="depth_wise")()
             pwk, pwb = _ConvParams((1, c_in, self.out_channels),
-                                   (self.out_channels,), name="point_wise")()
+                                   (self.out_channels,),
+                                   kernel_init=self.pw_kernel_init,
+                                   name="point_wise")()
             cdt = self.dtype or x.dtype
             full = (dwk[:, 0, :, None] * pwk[0][None]).astype(cdt)
             bias = (dwb @ pwk[0] + pwb).astype(cdt)
@@ -119,7 +132,8 @@ class DepthwiseSeparableConv(nn.Module):
         x = nn.Conv(c_in, kernel_size=(k,), padding=[(k // 2, k // 2)],
                     feature_group_count=c_in, kernel_init=kaiming,
                     dtype=self.dtype, name="depth_wise")(x)
-        x = nn.Conv(self.out_channels, kernel_size=(1,), kernel_init=kaiming,
+        x = nn.Conv(self.out_channels, kernel_size=(1,),
+                    kernel_init=self.pw_kernel_init,
                     dtype=self.dtype, name="point_wise")(x)
         return x
 
@@ -271,6 +285,7 @@ class ConvHead(nn.Module):
     out_channels: int
     sigmoid: bool = False
     dtype: Optional[jnp.dtype] = None
+    out_kernel_init: callable = kaiming
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -281,6 +296,7 @@ class ConvHead(nn.Module):
             x = z(nn.relu(DepthwiseSeparableConv(self.d_model, 3, dtype=cdt,
                                                  name=f"conv{i}")(x)))
         x = DepthwiseSeparableConv(self.out_channels, 3, dtype=cdt,
+                                   pw_kernel_init=self.out_kernel_init,
                                    name="out")(x)
         x = x.astype(jnp.float32)       # heads feed losses/decoding in f32
         return nn.sigmoid(x) if self.sigmoid else x
@@ -376,11 +392,19 @@ class GroundingModel(nn.Module):
 
         flat = combined.reshape(b * q, t, cfg.dim_hidden)
         flat_mask = jnp.repeat(clip_mask, q, axis=0)
+        if cfg.stable_head_init:
+            # final-kernel down-scaling keeps head logits O(1) at init (the
+            # reference's default init saturates them; see GroundingConfig)
+            oki = lambda rng, shape, dtype=jnp.float32: \
+                kaiming(rng, shape, dtype) * 0.02
+        else:
+            oki = kaiming
         regrs = ConvHead(cfg.dim_hidden, 2 * cfg.num_bins, sigmoid=True,
+                         out_kernel_init=oki,
                          name="regr_head")(flat, mask=flat_mask)
-        conf = ConvHead(cfg.dim_hidden, cfg.num_bins,
+        conf = ConvHead(cfg.dim_hidden, cfg.num_bins, out_kernel_init=oki,
                         name="conf_head")(flat, mask=flat_mask)
-        cls = ConvHead(cfg.dim_hidden, cfg.num_bins,
+        cls = ConvHead(cfg.dim_hidden, cfg.num_bins, out_kernel_init=oki,
                        name="cls_head")(flat, mask=flat_mask)
         k = cfg.num_bins
         regrs = regrs.reshape(b, q, t, 2, k)
