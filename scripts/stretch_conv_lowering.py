@@ -34,6 +34,7 @@ from vidsgg_big_tpu.utils.compile_cache import enable_compilation_cache  # noqa:
 from vidsgg_big_tpu.data.synthetic import make_video  # noqa: E402
 from vidsgg_big_tpu.data.types import pack_proposal, stack_batches  # noqa: E402
 from vidsgg_big_tpu.ops.segments import (stretch_conv_patches,  # noqa: E402
+                                         stretch_conv_src,
                                          stretch_lookup_matmul,
                                          adaptive_max_pool1d)
 
@@ -63,12 +64,11 @@ def timeit(fn, *args, n=40):
 
 
 def src_indices(idx):
-    """(n, T_out, K) stretched source index per conv tap; -1 = zero pad."""
-    cols = (STRIDE * jnp.arange(T_OUT)[:, None]
-            + jnp.arange(K)[None, :] - PAD)                  # (T_out, K)
-    valid = (cols >= 0) & (cols < T)
-    cols = jnp.clip(cols, 0, T - 1)
-    return jnp.where(valid[None], idx[:, cols], -1)
+    """(n, T_out, K) stretched source index per conv tap; -1 = zero pad.
+
+    Uses the shipped op's own index algebra so every variant measures the
+    exact composition stretch_conv_patches implements."""
+    return stretch_conv_src(idx, T, K, STRIDE, PAD)
 
 
 def variant_a(x, idx, w, b):

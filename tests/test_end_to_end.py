@@ -137,8 +137,6 @@ def test_grounding_overfit_localizes_spans():
                         prep["query_cats"], prep["temporal"],
                         prep["query_mask"])
 
-    from vidsgg_big_tpu.train.train_state import (make_optimizer,
-                                                  create_train_state)
     tx, _ = make_optimizer(3e-3, 0.2, [100000])
     state = create_train_state(params, tx)
     step = build_grounding_train_step(model, tx, donate=False)

@@ -218,16 +218,28 @@ def stretch_conv_patches(x, idx, kernel_size: int = 3, stride: int = 2,
     import jax
 
     n, t, d = x.shape
+    src = stretch_conv_src(idx, t, kernel_size, stride, pad)  # (N, To, k)
+    t_out = src.shape[1]
+    onehot = jax.nn.one_hot(src, t, dtype=x.dtype)           # (N, To, k, T)
+    patches = jnp.einsum("npkt,ntd->npkd", onehot, x)
+    return patches.reshape(n, t_out, kernel_size * d)
+
+
+def stretch_conv_src(idx, t: int, kernel_size: int = 3, stride: int = 2,
+                     pad: int = 1):
+    """(N, T_out, k) stretched source row per conv tap; -1 = zero pad.
+
+    The index algebra behind :func:`stretch_conv_patches` — exposed so
+    alternative lowerings (scripts/stretch_conv_lowering.py) measure the
+    same composition the shipped op uses.
+    """
     idx = jnp.asarray(idx)   # batches carry numpy leaves outside jit
     t_out = (t + 2 * pad - kernel_size) // stride + 1
     cols = (stride * jnp.arange(t_out)[:, None]
             + jnp.arange(kernel_size)[None, :] - pad)        # (T_out, k)
     valid = (cols >= 0) & (cols < t)
     cols = jnp.clip(cols, 0, t - 1)
-    src = jnp.where(valid[None], idx[:, cols], -1)           # (N, T_out, k)
-    onehot = jax.nn.one_hot(src, t, dtype=x.dtype)           # (N, To, k, T)
-    patches = jnp.einsum("npkt,ntd->npkd", onehot, x)
-    return patches.reshape(n, t_out, kernel_size * d)
+    return jnp.where(valid[None], idx[:, cols], -1)          # (N, T_out, k)
 
 
 def stretch_lookup_matmul(x, idx):
