@@ -249,10 +249,14 @@ def bench_grounding_train():
     return dt * 1000.0, b / dt                              # ms/step, v/s
 
 
-def bench_vidor():
+def bench_vidor(feat_dtype=None):
     """BIG-C v7 inference at the VidOR exp4 geometry: N=180 proposals,
     T=512 bucket, RoI(1024)+classeme(300) features, 81/51 vocab, and the
-    published 6-enc/4-dec depth (reference experiments/exp4/config_.py:14-15)."""
+    published 6-enc/4-dec depth (reference experiments/exp4/config_.py:14-15).
+
+    ``feat_dtype=np.int8`` measures the opt-in int8 feature-storage path at
+    this production geometry (4x less feature traffic; round-2 measured
+    +13-14 % at both geometries)."""
     import jax
     import ml_dtypes
     from vidsgg_big_tpu.data.synthetic import make_video
@@ -273,7 +277,8 @@ def bench_vidor():
                        num_enti_cats=81, num_pred_cats=51)[0]
             for i in range(BATCH)]
     batch = stack_batches([
-        pack_proposal(r, 180, 512, feat_total, dtype=ml_dtypes.bfloat16)
+        pack_proposal(r, 180, 512, feat_total,
+                      dtype=feat_dtype or ml_dtypes.bfloat16)
         for r in recs])
     params = model.init(jax.random.PRNGKey(0), batch)
     infer = build_infer_step(model, topk=10)
@@ -480,11 +485,17 @@ def main():
         print(f"reference baseline skipped/failed: {e!r}", file=sys.stderr)
         ref = None
 
+    def _vidor_int8():
+        extra["infer_vidor_int8_feats_videos_per_sec"] = round(
+            bench_vidor(feat_dtype=np.int8), 1)
+
     run_stage("train step", 400, _train)
     run_stage("grounding inference", 300, _grounding)
     run_stage("grounding train step", 350, _grounding_train)
     run_stage("VidOR-geometry inference", 250, _vidor)
     run_stage("serving B=32 (Pallas role-attn auto-engaged)", 250, _serving)
+    # lowest priority: gated out first when the tunnel window is slow
+    run_stage("VidOR-geometry int8 feature storage", 200, _vidor_int8)
     if ref:
         vs = round(ours / ref, 2)
     else:
