@@ -142,3 +142,42 @@ def test_train_vidor_grounding_resume(tmp_path_factory, tools_path):
         str(cfg_path), root, epochs=2, from_checkpoint=True,
         train_grounding=True))
     assert int(state3.step) == 2 * s1
+
+
+def test_resume_epoch_sidecar(tmp_path, tools_path):
+    """The resumed epoch comes from the checkpoint's sidecar, not from
+    ``step // iters_per_epoch``: streaming bucketed epochs emit more steps
+    per epoch than len(dataset)//batch_size (partial-bucket flushes split
+    batches), so the division over-counts and would silently skip epochs.
+    The sidecar is authoritative; checkpoints without one (pre-sidecar)
+    fall back to the division."""
+    import logging
+    import jax.numpy as jnp
+    import optax
+    from vidsgg_big_tpu.train.train_state import (
+        create_train_state, save_checkpoint, load_checkpoint_epoch)
+    import train_vidor
+
+    params = {"w": jnp.zeros((3,))}
+    tx = optax.sgd(1e-2)
+    state = create_train_state(params, tx).replace(step=37)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, 37, epoch=5)
+    assert load_checkpoint_epoch(ckpt, 37) == 5
+
+    args = argparse.Namespace(from_checkpoint=True, ckpt_path=ckpt)
+    template = create_train_state({"w": jnp.zeros((3,))}, tx)
+    # iters_per_epoch=6 would put step 37 in "epoch 6"; the sidecar says 5
+    restored, start_epoch = train_vidor._maybe_resume(
+        args, logging.getLogger("t"), template, ckpt, iters_per_epoch=6)
+    assert start_epoch == 5
+    assert int(restored.step) == 37
+
+    # pre-sidecar checkpoint: fall back to the division
+    ckpt2 = str(tmp_path / "ckpt2")
+    save_checkpoint(ckpt2, state, 37)
+    assert load_checkpoint_epoch(ckpt2, 37) is None
+    _, start_epoch2 = train_vidor._maybe_resume(
+        args.__class__(from_checkpoint=True, ckpt_path=ckpt2),
+        logging.getLogger("t"), template, ckpt2, iters_per_epoch=6)
+    assert start_epoch2 == 6

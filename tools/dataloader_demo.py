@@ -33,8 +33,14 @@ def main():
     if args.cfg_path:
         all_cfgs = parse_config_py(args.cfg_path)
         if args.dataset_class:
-            dataset_config = all_cfgs[
-                f"{args.dataset_class}_{args.split}_dataset_config"]
+            # the reference's demo config defines pku/pku_i3d/vidvrd-prefixed
+            # dataset dicts (reference experiments/demo/config_.py); VidOR
+            # configs carry plain train/test keys, so fall back to those
+            key = f"{args.dataset_class}_{args.split}_dataset_config"
+            if key not in all_cfgs and args.dataset_class == "vidor":
+                key = ("train_dataset_config" if args.split.startswith(
+                    "train") else "test_dataset_config")
+            dataset_config = all_cfgs[key]
             if args.dataset_class == "vidor":
                 args.dataset_type = "vidor"
         else:

@@ -13,7 +13,8 @@ from common import make_dataset, load_tables, load_side_tables
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger, MetricWriter
 from vidsgg_big_tpu.data.bucketing import (BucketSpec, bucketed_batches,
-                                           iter_shuffled, pick_unbounded)
+                                           iter_shuffled, pick_unbounded,
+                                           stream_buckets)
 from vidsgg_big_tpu.data.prefetch import prefetch
 from vidsgg_big_tpu.models import BigC, BigCConfig
 from vidsgg_big_tpu.models.base_c import BaseC, BaseCConfig, basec_train_loss
@@ -33,9 +34,14 @@ def _maybe_resume(args, logger, state, default_ckpt_dir, iters_per_epoch):
     optimizer step."""
     start_epoch = 0
     if args.from_checkpoint:
+        from vidsgg_big_tpu.train.train_state import load_checkpoint_epoch
         path = args.ckpt_path or default_ckpt_dir
         state, step = load_checkpoint(path, state)
-        start_epoch = step // iters_per_epoch
+        # the sidecar epoch is authoritative: streaming bucketed epochs emit
+        # more steps than len(dataset)//batch_size (partial-bucket flushes),
+        # so dividing over-counts and would silently skip epochs
+        epoch = load_checkpoint_epoch(path, step)
+        start_epoch = epoch if epoch is not None else step // iters_per_epoch
         logger.info(f"resumed from {path} at step {step} "
                     f"(epoch {start_epoch})")
     return state, start_epoch
@@ -94,7 +100,10 @@ def train_baseline(args):
     row_of = lambda it: (it[-2], it[-1])
     peek = row_of(dataset[0])
     feat_dim = peek[0].features[0].shape[1]
-    spec = BucketSpec(feat_dim=feat_dim, n_ladder=(8, 16, 32, 64),
+    # default N-ladder (tops at 192): exp6's train split allows
+    # max_proposal=180, so a shorter ladder would crash pack_proposal on
+    # any real video with >64 surviving proposals
+    spec = BucketSpec(feat_dim=feat_dim,
                       p_bucket=model_config.get("max_preds", 128))
     first = next(iter(bucketed_batches([peek], spec, 1)))
     params = model.init(jax.random.PRNGKey(args.seed), first[2])
@@ -134,7 +143,8 @@ def train_baseline(args):
                 writer.add_scalar("loss/total", losses[-1], it)
         logger.info(f"epoch {epoch} mean loss {np.mean(losses):.4f}")
         if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
-            save_checkpoint(ckpt_dir, jax.device_get(state), it)
+            save_checkpoint(ckpt_dir, jax.device_get(state), it,
+                            epoch=epoch + 1)
             logger.info(f"checkpoint saved at {ckpt_dir}")
     writer.close()
     return state
@@ -203,34 +213,17 @@ def train_grounding_stage(args):
                 np.asarray(n_clips), gts, np.asarray(video_len))
 
     def epoch_batches(epoch):
-        """Stream shuffled videos into per-T-bucket batches; flush the
-        (padded, masked) remainders at epoch end.  At most ``max_pending``
-        videos' clip features wait in partial buckets — the fullest bucket
-        flushes early, padded+masked, so peak host memory stays O(batch)
-        like the bucketed loops (data/bucketing.py ``bucketed_batches``)."""
-        groups = {}
-        pending = 0
-        max_pending = max(8 * batch_size, 64)
-        for it_ in iter_shuffled(dataset, seed=epoch):
-            vf, gt = it_[0], it_[-1]
-            t = clip_bucket_of(vf.shape[0])
-            groups.setdefault(t, []).append((vf, gt))
-            pending += 1
-            if len(groups[t]) == batch_size:
-                yield make_batch(groups.pop(t), t, batch_size)
-                pending -= batch_size
-            elif pending >= max_pending:
-                t2 = max(groups, key=lambda k: len(groups[k]))
-                rows = groups.pop(t2)
-                pending -= len(rows)
-                n_real = len(rows)
-                while len(rows) < batch_size:
-                    rows.append(rows[-1])
-                yield make_batch(rows, t2, n_real)
-        for t, rows in groups.items():
-            n_real = len(rows)
-            while len(rows) < batch_size:
-                rows.append(rows[-1])
+        """Stream shuffled videos into per-T-bucket batches through the
+        shared grouper (data/bucketing.py ``stream_buckets``): full buckets
+        flush as they fill, partial buckets flush early padded+masked when
+        ``max_pending`` is hit, remainders flush at epoch end — peak host
+        memory stays O(batch), and the flush/padding policy is the same one
+        the TrackletBatch loops use."""
+        rows_it = ((it_[0], it_[-1])
+                   for it_ in iter_shuffled(dataset, seed=epoch))
+        for t, rows, n_real in stream_buckets(
+                rows_it, lambda r: clip_bucket_of(r[0].shape[0]),
+                batch_size):
             yield make_batch(rows, t, n_real)
 
     # init from a peeked single-video batch (jit re-specializes per bucket)
@@ -269,7 +262,8 @@ def train_grounding_stage(args):
                 writer.add_scalar("loss/total", losses[-1], it)
         logger.info(f"epoch {epoch} mean loss {np.mean(losses):.4f}")
         if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
-            save_checkpoint(ckpt_dir, jax.device_get(state), it)
+            save_checkpoint(ckpt_dir, jax.device_get(state), it,
+                            epoch=epoch + 1)
             logger.info(f"checkpoint saved at {ckpt_dir}")
     writer.close()
     return state
@@ -324,7 +318,8 @@ def _generic_train(args, logger, writer, experiment_dir, model, bias,
         logger.info(f"epoch {epoch} done in {time.time()-t0:.1f}s "
                     f"mean loss {np.mean(losses):.4f}")
         if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
-            save_checkpoint(ckpt_dir, jax.device_get(state), it)
+            save_checkpoint(ckpt_dir, jax.device_get(state), it,
+                            epoch=epoch + 1)
             logger.info(f"checkpoint saved at {ckpt_dir}")
     writer.close()
     return state

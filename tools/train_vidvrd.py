@@ -86,9 +86,14 @@ def train(args):
     start_epoch = 0
     ckpt_dir = os.path.join(experiment_dir, f"checkpoints_{args.save_tag}")
     if args.from_checkpoint:
+        from vidsgg_big_tpu.train.train_state import load_checkpoint_epoch
         path = args.ckpt_path or ckpt_dir
         state, step = load_checkpoint(path, state)
-        start_epoch = step // iters_per_epoch
+        # sidecar epoch is authoritative: streaming bucketed epochs emit more
+        # steps than len(dataset)//batch_size (partial-bucket flushes), so
+        # dividing over-counts and would silently skip epochs on resume
+        epoch = load_checkpoint_epoch(path, step)
+        start_epoch = epoch if epoch is not None else step // iters_per_epoch
         logger.info(f"resumed from {path} at step {step} "
                     f"(epoch {start_epoch})")
 
@@ -123,7 +128,8 @@ def train(args):
         logger.info(f"epoch {epoch} done in {time.time()-t0:.1f}s, "
                     f"mean loss {np.mean(epoch_losses):.4f}")
         if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
-            save_checkpoint(ckpt_dir, jax.device_get(state), it)
+            save_checkpoint(ckpt_dir, jax.device_get(state), it,
+                            epoch=epoch + 1)
             logger.info(f"checkpoint saved at {ckpt_dir} (step {it})")
     writer.close()
     return state

@@ -74,6 +74,53 @@ def iter_shuffled(dataset, seed: int = 0, map_fn=None):
         yield map_fn(rec) if map_fn is not None else rec
 
 
+def stream_buckets(items: Iterable, key_of, batch_size: int,
+                   max_pending: int | None = None, drop_last: bool = False):
+    """The streaming bucket grouper: yield ``(key, rows, n_real)``.
+
+    ``rows`` holds ``n_real`` real records followed by repeats of the last
+    record padding to a ``batch_size`` multiple (callers mask the repeats).
+    Full buckets flush as soon as they fill; at most ``max_pending`` records
+    (default ``max(8 * batch_size, 64)``) wait in partial buckets — when the
+    cap is hit the fullest bucket flushes early, padded, regardless of
+    ``drop_last`` (which governs only the end-of-stream remainder;
+    discarding mid-epoch would silently skip records).
+
+    Shared by the TrackletBatch path (:func:`bucketed_batches`) and the
+    grounding clip-feature epoch stream (tools/train_vidor.py) so the
+    flush/padding policy can never diverge between them.
+    """
+    if max_pending is None:
+        max_pending = max(8 * batch_size, 64)
+
+    def padded(rows):
+        n_real = len(rows)
+        rows = list(rows)
+        while len(rows) % batch_size != 0:
+            rows.append(rows[-1])
+        return rows, n_real
+
+    groups, pending = {}, 0
+    for rec in items:
+        key = key_of(rec)
+        groups.setdefault(key, []).append(rec)
+        pending += 1
+        if len(groups[key]) == batch_size:
+            yield key, groups.pop(key), batch_size
+            pending -= batch_size
+        elif pending >= max_pending:
+            k2 = max(groups, key=lambda k: len(groups[k]))
+            rows, n_real = padded(groups.pop(k2))
+            pending -= n_real
+            yield k2, rows, n_real
+    for key, rows in groups.items():
+        if drop_last:
+            continue
+        rows, n_real = padded(rows)
+        for i in range(0, len(rows), batch_size):
+            yield key, rows[i:i + batch_size], min(batch_size, n_real - i)
+
+
 def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
                      with_gt: bool = True, shuffle: bool = False, seed: int = 0,
                      drop_last: bool = False, max_pending: int | None = None):
@@ -110,13 +157,12 @@ def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
              else np.dtype(spec.feat_dtype))
 
     def emit(key, rows, n_real):
-        # pad the batch by repeating the last video so the compiled batch
-        # size stays fixed.  Repeats are *fully masked out* so they
-        # contribute nothing to losses or metrics (each real video enters
-        # an epoch exactly once, like the reference).
-        rows = list(rows)
-        while len(rows) % batch_size != 0:
-            rows.append(rows[-1])
+        # rows arrive from stream_buckets already padded to a batch_size
+        # multiple by repeating the last video (fixed compiled batch size).
+        # Repeats are *fully masked out* so they contribute nothing to
+        # losses or metrics (each real video enters an epoch exactly once,
+        # like the reference).
+        assert len(rows) % batch_size == 0, (len(rows), batch_size)
         n, t = key
         props = stack_batches([
             pack_proposal(r[0], n, t, spec.feat_dim, dtype=dtype)
@@ -137,31 +183,7 @@ def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
                     pred_mask=gts.pred_mask & real[:, None])
         return key, rows[:n_real], props, gts
 
-    groups = {}
-    pending = 0
-    for rec in items:
-        prop = rec[0]
-        key = spec.bucket_of(prop)
-        groups.setdefault(key, []).append(rec)
-        pending += 1
-        if len(groups[key]) == batch_size:
-            yield emit(key, groups.pop(key), batch_size)
-            pending -= batch_size
-        elif pending >= max_pending:
-            # bound held records: flush the fullest partial bucket early.
-            # Always yielded (padded+masked) even under drop_last — that
-            # flag governs only the end-of-stream remainder; discarding
-            # here would silently skip records mid-epoch.
-            k2 = max(groups, key=lambda k: len(groups[k]))
-            rows = groups.pop(k2)
-            pending -= len(rows)
-            yield emit(k2, rows, len(rows))
-    for key, rows in groups.items():
-        if drop_last:
-            continue
-        n_real = len(rows)
-        while len(rows) % batch_size != 0:
-            rows.append(rows[-1])
-        for i in range(0, len(rows), batch_size):
-            yield emit(key, rows[i:i + batch_size],
-                       min(batch_size, n_real - i))
+    for key, rows, n_real in stream_buckets(
+            items, lambda rec: spec.bucket_of(rec[0]), batch_size,
+            max_pending=max_pending, drop_last=drop_last):
+        yield emit(key, rows, n_real)

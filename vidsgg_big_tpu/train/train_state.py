@@ -54,13 +54,24 @@ def create_train_state(params, tx) -> TrainState:
 # --------------------------- checkpointing ---------------------------------
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
-                    keep: int = 5):
+                    keep: int = 5, epoch: int | None = None):
+    """Save the train state; ``epoch`` (the next epoch to train) is stored
+    in a json sidecar because it is NOT derivable from ``step``: the
+    streaming bucketed epochs emit a per-epoch step count that depends on
+    how records landed in buckets (partial flushes, remainder padding), so
+    ``step // (len(dataset) // batch_size)`` over-counts and would skip
+    epochs on resume (the reference stores ``crt_epoch`` in its .pth for
+    the same reason, reference tools/train_vidvrd.py:30-38)."""
     import orbax.checkpoint as ocp
     ckpt_dir = os.path.abspath(ckpt_dir)
     with ocp.CheckpointManager(
             ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
     ) as mngr:
         mngr.save(step, args=ocp.args.StandardSave(state))
+    if epoch is not None:
+        import json
+        with open(os.path.join(ckpt_dir, f"meta_{step}.json"), "w") as f:
+            json.dump({"step": step, "epoch": epoch}, f)
 
 
 def load_checkpoint(ckpt_dir: str, template: TrainState,
@@ -71,3 +82,15 @@ def load_checkpoint(ckpt_dir: str, template: TrainState,
         step = mngr.latest_step() if step is None else step
         state = mngr.restore(step, args=ocp.args.StandardRestore(template))
     return state, step
+
+
+def load_checkpoint_epoch(ckpt_dir: str, step: int) -> int | None:
+    """Epoch recorded by :func:`save_checkpoint`, or None for checkpoints
+    written before the sidecar existed (callers fall back to the old
+    step-division estimate)."""
+    import json
+    path = os.path.join(os.path.abspath(ckpt_dir), f"meta_{step}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)["epoch"]
