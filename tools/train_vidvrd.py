@@ -61,7 +61,10 @@ def train(args):
 
     batch_size = args.batch_size or train_config["batch_size"]
     total_epoch = args.epochs or train_config["total_epoch"]
-    iters_per_epoch = max(len(dataset) // batch_size, 1)
+    # ceil: the reference converts milestone epochs to iters via
+    # len(dataloader) with drop_last=False (reference
+    # tools/train_vidvrd.py:123-125), i.e. ceil(n/bs)
+    iters_per_epoch = max(-(-len(dataset) // batch_size), 1)
     milestones = [m * iters_per_epoch
                   for m in train_config["epoch_lr_milestones"]]
     tx, sched = make_optimizer(train_config["initial_lr"],
