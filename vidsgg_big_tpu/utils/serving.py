@@ -1,0 +1,58 @@
+"""Load serving artifacts written by tools/export_model.py.
+
+The artifact is a serialized `jax.export` module: the whole jitted infer
+step with parameters baked in as constants, portable across processes and
+machines — deserializing needs only jax, not this repo's model code.
+
+    from vidsgg_big_tpu.utils.serving import load_exported
+    serve, manifest = load_exported("exp2_serving")
+    triplets = serve(packed_batch)   # TrackletBatch at the manifest's shapes
+"""
+from __future__ import annotations
+
+import json
+import os
+
+
+def load_exported(path: str):
+    """Returns ``(call, manifest)`` for an export directory (or a bare
+    ``.jaxexp`` file, in which case manifest is None).
+
+    ``call`` takes the packed input batch (a TrackletBatch pytree, or any
+    pytree whose flat leaves match the exported input order) and returns the
+    model's output — reassembled into the exported output type (Triplets for
+    the BIG-C exports) via the manifest, or the raw leaf tuple when the
+    output class cannot be imported."""
+    import importlib
+
+    import jax
+    from jax import export as jexport
+
+    if os.path.isdir(path):
+        blob_path = os.path.join(path, "model.jaxexp")
+        man_path = os.path.join(path, "manifest.json")
+        manifest = None
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                manifest = json.load(f)
+    else:
+        blob_path, manifest = path, None
+    with open(blob_path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+
+    out_cls = None
+    if manifest and manifest.get("output_type"):
+        mod, _, qual = manifest["output_type"].rpartition(".")
+        try:
+            out_cls = getattr(importlib.import_module(mod), qual)
+        except Exception:
+            out_cls = None
+
+    def call(batch):
+        leaves = jax.tree_util.tree_leaves(batch)
+        out = exported.call(*leaves)
+        if out_cls is not None:
+            return out_cls(**dict(zip(manifest["output_fields"], out)))
+        return out
+
+    return call, manifest
