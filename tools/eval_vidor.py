@@ -17,7 +17,6 @@ from vidsgg_big_tpu.data.bucketing import (BucketSpec, bucketed_batches,
 from vidsgg_big_tpu.models import BigC, BigCConfig
 from vidsgg_big_tpu.models.base_c import BaseC, BaseCConfig
 from vidsgg_big_tpu.models.grounding import GroundingConfig, GroundingModel
-from vidsgg_big_tpu.models.triplets import pairwise_construct_triplets
 from vidsgg_big_tpu.train.train_state import (
     make_optimizer, create_train_state, load_checkpoint)
 from vidsgg_big_tpu.train.steps import build_infer_step
@@ -81,22 +80,8 @@ def evaluate_cls_stage(args, logger, all_cfgs):
         model = BaseC(cfg, enti_name_emb=enti_emb)
         first = next(iter(bucketed_batches([peek], spec, 1, with_gt=False)))
         params = _load_params(model, first[2], args.ckpt_path, bias)
-
-        def infer(params, props):
-            out = model.apply(params, props)
-            import functools
-            trip = jax.vmap(functools.partial(
-                pairwise_construct_triplets, topk=topk,
-                num_enti_cats=cfg.num_enti_cats,
-                num_pred_cats=cfg.num_pred_cats,
-                rt_topk=cfg.rt_triplets_topk))(
-                out["pred_logits"], jax.numpy.broadcast_to(
-                    out["pair_ids"][None],
-                    (props.traj_mask.shape[0],) + out["pair_ids"].shape),
-                props.durations, props.scores, props.cat_ids,
-                props.traj_mask)
-            return trip
-        infer = jax.jit(infer)
+        from vidsgg_big_tpu.train.steps import build_basec_infer_step
+        infer = build_basec_infer_step(model, topk=topk)
     else:
         cfg = BigCConfig.from_dict(model_config, variant="v7")
         enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,

@@ -85,3 +85,28 @@ def build_infer_step(model: BigC, topk: int, mesh=None):
                                     NamedSharding(mesh, P("data"))),
                       out_shardings=NamedSharding(mesh, P("data")))
     return jax.jit(infer, **kwargs)
+
+
+def build_basec_infer_step(model, topk: int):
+    """Returns infer(params, props) -> Triplets (batched) for Base-C, the
+    pairwise baseline: forward logits over all ordered tracklet pairs, then
+    fixed-shape triplet construction with the optional rt_triplets_topk
+    truncation (reference model_pairwise_baseline.py:314-395)."""
+    from ..models.triplets import pairwise_construct_triplets
+    cfg = model.cfg
+
+    def infer(params, props):
+        out = model.apply(params, props)
+        trip = jax.vmap(functools.partial(
+            pairwise_construct_triplets, topk=topk,
+            num_enti_cats=cfg.num_enti_cats,
+            num_pred_cats=cfg.num_pred_cats,
+            rt_topk=cfg.rt_triplets_topk))(
+            out["pred_logits"],
+            jnp.broadcast_to(out["pair_ids"][None],
+                             (props.traj_mask.shape[0],) +
+                             out["pair_ids"].shape),
+            props.durations, props.scores, props.cat_ids, props.traj_mask)
+        return trip
+
+    return jax.jit(infer)
