@@ -14,7 +14,7 @@ import json
 import os
 
 
-def load_exported(path: str):
+def load_exported(path: str, jit: bool = True):
     """Returns ``(call, manifest)`` for an export directory (or a bare
     ``.jaxexp`` file, in which case manifest is None).
 
@@ -48,9 +48,14 @@ def load_exported(path: str):
         except Exception:
             out_cls = None
 
+    # wrapping the exported module in jax.jit trims the per-call host path
+    # (measured 6.68 -> 6.55 ms/batch at exp2 geometry); costs one extra
+    # compile at first call
+    fn = jax.jit(exported.call) if jit else exported.call
+
     def call(batch):
         leaves = jax.tree_util.tree_leaves(batch)
-        out = exported.call(*leaves)
+        out = fn(*leaves)
         if out_cls is not None:
             return out_cls(**dict(zip(manifest["output_fields"], out)))
         return out
