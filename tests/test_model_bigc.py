@@ -230,3 +230,30 @@ def test_int8_feature_storage_close_to_f32():
     g = jax.grad(loss)(params32)
     gk = g["params"]["tracklet_encoder"]["fc_feat2enti"]["dense0"]["kernel"]
     assert float(np.abs(np.asarray(gk)).max()) > 0.0
+
+
+def test_unconsumed_feature_tail_ignored():
+    """exp4 regression: VidOR tracklet files always carry the 300-d classeme
+    concat, but the exp4 head (v7, use_clsme=False) never reads it — the
+    reference slices traj_features[:, :, :dim_feat] and ignores the tail
+    (reference model_0v7.py:441-447).  Extra trailing channels must not
+    change any output."""
+    cfg = BigCConfig(
+        num_pred_cats=20, num_enti_cats=12, dim_feat=32, dim_clsme=16,
+        dim_enti=32, dim_pred=32, dim_att=32, dim_ffn=32, dim_i3d=None,
+        enco_pool_len=4, n_enco_layers=1, n_deco_layers=2, n_att_head=4,
+        num_querys=24, variant="v7", use_clsme=False, use_name_emb=False)
+    assert not cfg.clsme_in_feats
+    model = BigC(cfg)
+    vids = [make_video(s, video_len=80, feat_dim=48, n_gt_trajs=4,
+                       n_preds=6, num_enti_cats=12, num_pred_cats=20)
+            for s in range(2)]
+    wide = stack_batches([pack_proposal(p, 12, 64, 48) for p, _ in vids])
+    narrow = wide.replace(feats=wide.feats[..., :32])
+    params = model.init(jax.random.PRNGKey(0), narrow)
+    out_w = model.apply(params, wide)
+    out_n = model.apply(params, narrow)
+    np.testing.assert_array_equal(np.asarray(out_w["pred_logits"]),
+                                  np.asarray(out_n["pred_logits"]))
+    np.testing.assert_array_equal(np.asarray(out_w["att"]),
+                                  np.asarray(out_n["att"]))

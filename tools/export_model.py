@@ -43,18 +43,19 @@ def build_model_and_params(args, model_config):
     from vidsgg_big_tpu.models import BigC, BigCConfig
 
     variant = {"bigc_vidvrd": "v10", "bigc_vidor": "v7"}[args.model]
-    if args.compute_dtype:
-        model_config = dict(model_config, compute_dtype=args.compute_dtype)
     cfg = BigCConfig.from_dict(model_config, variant=variant)
     enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
                                     cfg.num_pred_cats, cfg.dim_clsme)
     enti_emb, pos_tab = load_side_tables(args.tables_path, enti_emb)
     model = BigC(cfg, enti_name_emb=enti_emb, pos_emb_table=pos_tab)
 
-    # feature channels on disk: RoI + I3D for v10; RoI + classeme concat for
-    # v7 when use_clsme (the VidOR loaders concatenate the 300-d classeme)
+    # feature channels ON DISK (what serving batches will carry): RoI + I3D
+    # for v10; RoI + the 300-d classeme concat for v7 — the VidOR loaders
+    # append the classeme unconditionally (data/parse.py), and the model
+    # slices/ignores unconsumed tail channels like the reference
+    # (model_0v7.py:441-447, big_c.py feats assert)
     feat_dim = cfg.dim_feat + (cfg.dim_i3d or 0) + \
-        (cfg.dim_clsme if (variant == "v7" and cfg.use_clsme) else 0)
+        (cfg.dim_clsme if variant == "v7" else 0)
     import ml_dtypes
     dtype = (ml_dtypes.bfloat16 if args.feat_dtype == "bfloat16"
              else np.dtype(args.feat_dtype))
@@ -78,14 +79,16 @@ def build_basec_and_params(args, model_config):
     from vidsgg_big_tpu.data.synthetic import make_video
     from vidsgg_big_tpu.data.types import pack_proposal, stack_batches
     from vidsgg_big_tpu.models.base_c import BaseC, BaseCConfig
-    import flax.traverse_util as tu
     import ml_dtypes
 
     cfg = BaseCConfig.from_dict(model_config)
     enti_emb, bias, _ = load_tables(model_config, cfg.num_enti_cats,
                                     cfg.num_pred_cats, cfg.dim_clsme)
     model = BaseC(cfg, enti_name_emb=enti_emb)
-    feat_dim = cfg.dim_feat + (cfg.dim_clsme if cfg.use_clsme else 0)
+    # VidOR tracklet files always carry the 300-d classeme concat after the
+    # RoI channels (data/parse.py); the model ignores the tail when it uses
+    # the name-embedding lookup instead
+    feat_dim = cfg.dim_feat + cfg.dim_clsme
     dtype = (ml_dtypes.bfloat16 if args.feat_dtype == "bfloat16"
              else np.dtype(args.feat_dtype))
     recs = [make_video(i, video_len=2 * args.t_bucket, n_gt_trajs=3,
@@ -97,11 +100,7 @@ def build_basec_and_params(args, model_config):
         pack_proposal(r, args.n_bucket, args.t_bucket, feat_dim, dtype=dtype)
         for r in recs])
     params = model.init(jax.random.PRNGKey(0), template)
-    flat = tu.flatten_dict(params)
-    for k in list(flat):
-        if k[-1] == "bias_matrix":
-            flat[k] = jax.numpy.asarray(bias)
-    params = tu.unflatten_dict(flat)
+    params = model.load_tables(params, bias)
     return model, _restore(params, args.ckpt_path), template, feat_dim
 
 
@@ -148,6 +147,8 @@ def export_model(args):
 
     all_cfgs = parse_config_py(args.cfg_path)
     model_config = all_cfgs["model_config"]
+    if args.compute_dtype:   # applies to every family's config
+        model_config = dict(model_config, compute_dtype=args.compute_dtype)
     infer_cfg = all_cfgs.get("inference_config", {})
     topk = args.topk or infer_cfg.get("topk", 10)
     if args.model == "base_c":
@@ -213,7 +214,12 @@ def export_model(args):
         "model": args.model, "topk": topk, "platforms": platforms,
         "batch_size": args.batch_size, "n_bucket": args.n_bucket,
         "t_bucket": args.t_bucket, "q_bucket": args.q_bucket,
-        "feat_dim": feat_dim, "feat_dtype": args.feat_dtype,
+        "feat_dim": feat_dim,
+        # grounding consumes float32 I3D clip features regardless of the
+        # tracklet-feature storage flag
+        "feat_dtype": ("float32" if args.model == "grounding"
+                       else args.feat_dtype),
+        "compute_dtype": model_config.get("compute_dtype", "float32"),
         "inputs": inputs,     # flat leaves in field order (= tree_leaves)
         "output_type": out_type,
         "output_fields": out_fields,

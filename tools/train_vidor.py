@@ -110,12 +110,7 @@ def train_baseline(args):
                       p_bucket=model_config.get("max_preds", 128))
     first = next(iter(bucketed_batches([peek], spec, 1)))
     params = model.init(jax.random.PRNGKey(args.seed), first[2])
-    import flax.traverse_util as tu
-    flat = tu.flatten_dict(params)
-    for k in list(flat):
-        if k[-1] == "bias_matrix":
-            flat[k] = jax.numpy.asarray(bias)
-    params = tu.unflatten_dict(flat)
+    params = model.load_tables(params, bias)
     state = create_train_state(params, tx)
     ckpt_dir = os.path.join(experiment_dir,
                             f"checkpoints_base_{args.save_tag}")

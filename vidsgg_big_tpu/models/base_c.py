@@ -59,6 +59,18 @@ class BaseC(nn.Module):
     cfg: BaseCConfig
     enti_name_emb: Optional[np.ndarray] = None
 
+    def load_tables(self, params, bias_matrix: np.ndarray):
+        """Overwrite the trainable bias_matrix with a precomputed prior
+        (same contract as BigC.load_tables; shared by the train/eval CLIs
+        and the serving exporter)."""
+        import flax
+        flat = flax.traverse_util.flatten_dict(params)
+        for k in list(flat):
+            if k[-1] == "bias_matrix":
+                assert flat[k].shape == bias_matrix.shape
+                flat[k] = jnp.asarray(bias_matrix)
+        return flax.traverse_util.unflatten_dict(flat)
+
     @nn.compact
     def __call__(self, batch: TrackletBatch, deterministic: bool = True):
         """Returns dict with pred_logits (B, NP, C), pair_ids (NP, 2),

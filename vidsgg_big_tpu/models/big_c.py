@@ -250,10 +250,15 @@ class BigC(nn.Module):
         """Returns dict with pred_queries (B,Q,Dp), pred_logits (B,Q,C),
         att (B,2,Q,N), enti_feat (B,N,E)."""
         cfg = self.cfg
-        expect = cfg.dim_feat + (cfg.dim_i3d or 0) + (
+        consumed = (cfg.dim_i3d or 0) + (
             cfg.dim_clsme if cfg.clsme_in_feats else 0)
-        assert batch.feats.shape[-1] == expect, (
-            f"feature dim {batch.feats.shape[-1]} != dim_feat"
+        expect = cfg.dim_feat + consumed
+        # >= not ==: the reference slices traj_features[:, :, :dim_feat] and
+        # ignores unconsumed tail channels (reference model_0v7.py:441-447)
+        # — VidOR tracklet files always carry the 300-d classeme concat,
+        # which the exp4 head (use_clsme=False) never reads
+        assert batch.feats.shape[-1] >= expect, (
+            f"feature dim {batch.feats.shape[-1]} < dim_feat"
             f"+dim_i3d/clsme = {expect}; check dataset fmt vs model config")
         if batch.feats.dtype == jnp.int8 and not deterministic:
             # int8 storage is an inference path (the quantized kernel has no
@@ -308,7 +313,7 @@ class BigC(nn.Module):
         # equivalent to a repeat-counts-weighted mean over raw frames
         if cfg.dim_i3d or cfg.clsme_in_feats:
             lengths = batch.durations[..., 1] - batch.durations[..., 0] + 1
-            extra = dequantize_extra(extra, batch.feat_scale)
+            extra = dequantize_extra(extra[..., :consumed], batch.feat_scale)
             extra_avg = stretch_weighted_mean(extra, lengths)  # (B, N, D_x)
         else:
             extra_avg = None

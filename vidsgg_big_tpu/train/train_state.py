@@ -68,10 +68,27 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
             ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
     ) as mngr:
         mngr.save(step, args=ocp.args.StandardSave(state))
+        kept = set(mngr.all_steps())
     if epoch is not None:
         import json
-        with open(os.path.join(ckpt_dir, f"meta_{step}.json"), "w") as f:
+        # atomic write: a kill mid-dump must not leave a truncated sidecar
+        path = os.path.join(ckpt_dir, f"meta_{step}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"step": step, "epoch": epoch}, f)
+        os.replace(tmp, path)
+    # prune sidecars of checkpoints orbax's max_to_keep already deleted
+    import glob
+    for p in glob.glob(os.path.join(ckpt_dir, "meta_*.json")):
+        try:
+            s = int(os.path.basename(p)[5:-5])
+        except ValueError:
+            continue
+        if s not in kept:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
 
 def load_checkpoint(ckpt_dir: str, template: TrainState,
@@ -92,5 +109,8 @@ def load_checkpoint_epoch(ckpt_dir: str, step: int) -> int | None:
     path = os.path.join(os.path.abspath(ckpt_dir), f"meta_{step}.json")
     if not os.path.exists(path):
         return None
-    with open(path) as f:
-        return json.load(f)["epoch"]
+    try:
+        with open(path) as f:
+            return json.load(f)["epoch"]
+    except (json.JSONDecodeError, KeyError, OSError):
+        return None    # corrupt sidecar: fall back like a missing one
