@@ -467,3 +467,47 @@ def test_vidor_v3_ingestion_matches_reference(tmp_path, reference_utils):
         for i in range(gt.num_trajs):
             np.testing.assert_allclose(
                 gt.traj_boxes[i], ref_gt.traj_bboxes[i].numpy(), rtol=1e-6)
+
+
+def test_pack_gt_keeps_true_durations_and_zero_proposal_videos_pack():
+    """Two real-data regressions from review: (a) pack_gt must keep TRUE GT
+    temporal extents even when per-frame boxes are truncated by the bucket
+    (clamping corrupted grounding queries and vIoU targets for any
+    trajectory longer than the bucket); (b) zero-proposal videos must pack
+    to feat_dim-sized empty arrays, not (N, T, 0)."""
+    from vidsgg_big_tpu.data.types import (VideoProposalRecord, pack_gt,
+                                           pack_proposal, stack_batches)
+    from vidsgg_big_tpu.data.synthetic import make_video
+    from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
+
+    prop, gt = make_video(0, video_len=470, feat_dim=16, n_gt_trajs=3,
+                          n_preds=4, num_enti_cats=10, num_pred_cats=16)
+    long_dura = np.asarray(gt.traj_durations)
+    packed = pack_gt(gt, g_bucket=6, tg_bucket=64, p_bucket=8)
+    np.testing.assert_array_equal(packed.traj_durations[:gt.num_trajs],
+                                  long_dura)          # never clamped to 64
+
+    # the streaming bucketer sizes the GT box bucket to cover every
+    # trajectory, so the vIoU alignment never reads zero-padded boxes
+    spec = BucketSpec(feat_dim=16, g_bucket=2)        # force the g-growth too
+    (key, rows, props, gts), = list(bucketed_batches([(prop, gt)], spec, 1))
+    # gts leaves carry a leading batch axis: (B, G, Tg, 4)
+    assert gts.traj_boxes.shape[2] >= max(
+        b.shape[0] for b in gt.traj_boxes)
+    assert gts.traj_boxes.shape[1] >= gt.num_trajs    # grown past g_bucket=2
+    np.testing.assert_array_equal(gts.traj_durations[0, :gt.num_trajs],
+                                  long_dura)
+
+    empty = VideoProposalRecord(
+        video_name="e", video_len=40, video_wh=(64, 48),
+        cat_ids=np.zeros((0,), np.int32), scores=np.zeros((0,), np.float32),
+        durations=np.zeros((0, 2), np.int32), boxes=[], features=[])
+    pe = pack_proposal(empty, 16, 32, 16)
+    assert pe.feats.shape == (16, 32, 16)
+    assert pe.boxes.shape == (16, 32, 4)
+    pe8 = pack_proposal(empty, 16, 32, 16, dtype=np.int8)  # no empty-max crash
+    assert pe8.feats.dtype == np.int8
+    # an empty and a real video in the same bucket must stack cleanly
+    nonempty = pack_proposal(prop, 16, 32, 16)
+    stacked = stack_batches([pe, nonempty])
+    assert stacked.feats.shape == (2, 16, 32, 16)

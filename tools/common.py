@@ -96,3 +96,12 @@ def make_dataset(dataset_config, dataset_type, synthetic=0, synthetic_root=None,
     if not cfg.get("video_dir"):
         cfg.pop("video_dir", None)   # only test split needs the videos
     return VidORDataset(**cfg), cfg
+
+
+def first_feat_dim(prop_iter):
+    """Feature width of the first non-empty video (zero-proposal videos
+    exist in real splits and carry no feature rows to measure)."""
+    for prop in prop_iter:
+        if prop.num_proposals:
+            return prop.features[0].shape[1]
+    raise ValueError("every video in the split has zero proposals")

@@ -9,7 +9,7 @@ import numpy as np
 import jax
 
 from common import (make_dataset, load_tables, load_side_tables,
-                    write_metrics_json)
+                    write_metrics_json, first_feat_dim)
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger
 from vidsgg_big_tpu.data.bucketing import (BucketSpec, bucketed_batches,
@@ -65,7 +65,8 @@ def evaluate_cls_stage(args, logger, all_cfgs):
     # (stage B reads them lazily per batch via dataset.load_video_feature)
     rows_iter = (dataset.get_data(name) for name in dataset.video_name_list)
     peek = dataset.get_data(dataset.video_name_list[0])
-    feat_dim = peek[0].features[0].shape[1]
+    feat_dim = first_feat_dim(
+        dataset.get_data(n)[0] for n in dataset.video_name_list)
     spec = BucketSpec(feat_dim=feat_dim, n_ladder=(8, 16, 32, 64, 128, 192),
                       feat_dtype=args.feat_dtype)
 

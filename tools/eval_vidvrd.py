@@ -13,7 +13,7 @@ import pickle
 import jax
 
 from common import (make_dataset, load_tables, load_side_tables,
-                    write_metrics_json)
+                    write_metrics_json, first_feat_dim)
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger
 from vidsgg_big_tpu.data.bucketing import BucketSpec, bucketed_batches
@@ -69,7 +69,7 @@ def inference_then_eval(args):
     # bounded memory: peek one record for shapes; the split itself streams
     # from the per-video cache through the bucketer (never list(dataset))
     peek = dataset[0]
-    feat_dim = peek[0].features[0].shape[1]
+    feat_dim = first_feat_dim(item[0] for item in dataset)
     spec = BucketSpec(feat_dim=feat_dim,
                       feat_dtype=args.feat_dtype)
 

@@ -9,7 +9,7 @@ import time
 import numpy as np
 import jax
 
-from common import make_dataset, load_tables, load_side_tables
+from common import make_dataset, load_tables, load_side_tables, first_feat_dim
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger, MetricWriter
 from vidsgg_big_tpu.data.bucketing import (BucketSpec, bucketed_batches,
@@ -94,7 +94,13 @@ def train_baseline(args):
     total_epoch = args.epochs or train_config["total_epoch"]
     # ceil: the reference converts milestone epochs to iters via
     # len(dataloader) with drop_last=False (reference
-    # tools/train_vidvrd.py:123-125), i.e. ceil(n/bs)
+    # tools/train_vidvrd.py:123-125), i.e. ceil(n/bs).  The LR milestones
+    # are an *iteration-indexed* contract (reference MultiStepLR steps per
+    # iteration): we decay after the same iteration count the reference
+    # formula names.  Streaming bucketed epochs run a few extra padded
+    # steps per epoch (bucket remainders), so the decay lands a fraction
+    # of an epoch earlier relative to epoch boundaries; the iteration
+    # count itself matches the reference definition exactly.
     iters_per_epoch = max(-(-len(dataset) // batch_size), 1)
     milestones = [m * iters_per_epoch
                   for m in train_config["epoch_lr_milestones"]]
@@ -102,7 +108,7 @@ def train_baseline(args):
                                train_config["lr_decay"], milestones)
     row_of = lambda it: (it[-2], it[-1])
     peek = row_of(dataset[0])
-    feat_dim = peek[0].features[0].shape[1]
+    feat_dim = first_feat_dim(row_of(item)[0] for item in dataset)
     # default N-ladder (tops at 192): exp6's train split allows
     # max_proposal=180, so a shorter ladder would crash pack_proposal on
     # any real video with >64 surviving proposals
@@ -120,7 +126,7 @@ def train_baseline(args):
     def step(state, props, gts, rng):
         def loss_fn(p):
             out = model.apply(p, props, deterministic=False)
-            return basec_train_loss(out, props, gts, cfg)
+            return basec_train_loss(out, props, gts, cfg, t_abs=4096)
         (total, d), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         return state.apply_gradients(grads, tx), dict(d, total=total)
@@ -179,7 +185,13 @@ def train_grounding_stage(args):
     total_epoch = args.epochs or train_config["total_epoch"]
     # ceil: the reference converts milestone epochs to iters via
     # len(dataloader) with drop_last=False (reference
-    # tools/train_vidvrd.py:123-125), i.e. ceil(n/bs)
+    # tools/train_vidvrd.py:123-125), i.e. ceil(n/bs).  The LR milestones
+    # are an *iteration-indexed* contract (reference MultiStepLR steps per
+    # iteration): we decay after the same iteration count the reference
+    # formula names.  Streaming bucketed epochs run a few extra padded
+    # steps per epoch (bucket remainders), so the decay lands a fraction
+    # of an epoch earlier relative to epoch boundaries; the iteration
+    # count itself matches the reference definition exactly.
     iters_per_epoch = max(-(-len(dataset) // batch_size), 1)
     milestones = [m * iters_per_epoch
                   for m in train_config["epoch_lr_milestones"]]
@@ -197,12 +209,17 @@ def train_grounding_stage(args):
         n_clips = np.zeros((b,), np.int32)
         video_len = np.zeros((b,), np.int32)
         gts = []
+        # crowded videos can exceed the default trajectory bucket — grow it
+        # rather than assert-crash; tg_bucket stays small because grounding
+        # consumes GT durations only (pack_gt keeps them true), never boxes
+        gb = pick_unbounded(max(gt.num_trajs for _, gt in rows),
+                            (32, 64, 128))
         for i, (vf, gt) in enumerate(rows):
             n = min(vf.shape[0], t_bucket)
             feats[i, :n] = vf[:n]
             n_clips[i] = n
             video_len[i] = gt.video_len
-            gts.append(pack_gt(gt, g_bucket=32, tg_bucket=64,
+            gts.append(pack_gt(gt, g_bucket=gb, tg_bucket=64,
                                p_bucket=p_bucket))
         gts = stack_batches(gts)
         if n_real < b:
@@ -277,7 +294,13 @@ def _generic_train(args, logger, writer, experiment_dir, model, bias,
     total_epoch = args.epochs or train_config["total_epoch"]
     # ceil: the reference converts milestone epochs to iters via
     # len(dataloader) with drop_last=False (reference
-    # tools/train_vidvrd.py:123-125), i.e. ceil(n/bs)
+    # tools/train_vidvrd.py:123-125), i.e. ceil(n/bs).  The LR milestones
+    # are an *iteration-indexed* contract (reference MultiStepLR steps per
+    # iteration): we decay after the same iteration count the reference
+    # formula names.  Streaming bucketed epochs run a few extra padded
+    # steps per epoch (bucket remainders), so the decay lands a fraction
+    # of an epoch earlier relative to epoch boundaries; the iteration
+    # count itself matches the reference definition exactly.
     iters_per_epoch = max(-(-len(dataset) // batch_size), 1)
     milestones = [m * iters_per_epoch
                   for m in train_config["epoch_lr_milestones"]]
@@ -287,7 +310,7 @@ def _generic_train(args, logger, writer, experiment_dir, model, bias,
     # records from the per-video cache (never list(dataset))
     row_of = lambda it: (it[-2], it[-1])
     peek = row_of(dataset[0])
-    feat_dim = peek[0].features[0].shape[1]
+    feat_dim = first_feat_dim(row_of(item)[0] for item in dataset)
     spec = BucketSpec(feat_dim=feat_dim,
                       p_bucket=model_config.get("max_preds", 128))
     mesh = make_mesh() if args.data_parallel else None
@@ -301,7 +324,9 @@ def _generic_train(args, logger, writer, experiment_dir, model, bias,
                                        iters_per_epoch)
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
-    step_fn = build_train_step(model, tx, mesh=mesh)
+    # t_abs=4096: VidOR trains on videos up to 2700 frames; the vIoU
+    # grid must cover the video-length bound (losses.bigc_train_loss)
+    step_fn = build_train_step(model, tx, mesh=mesh, t_abs=4096)
     rng = jax.random.PRNGKey(args.seed + 1)
     it = int(state.step)
     for epoch in range(start_epoch, total_epoch):

@@ -11,7 +11,7 @@ import time
 import numpy as np
 import jax
 
-from common import make_dataset, load_tables, load_side_tables
+from common import make_dataset, load_tables, load_side_tables, first_feat_dim
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger, MetricWriter
 from vidsgg_big_tpu.data.bucketing import (BucketSpec, bucketed_batches,
@@ -63,7 +63,13 @@ def train(args):
     total_epoch = args.epochs or train_config["total_epoch"]
     # ceil: the reference converts milestone epochs to iters via
     # len(dataloader) with drop_last=False (reference
-    # tools/train_vidvrd.py:123-125), i.e. ceil(n/bs)
+    # tools/train_vidvrd.py:123-125), i.e. ceil(n/bs).  The LR milestones
+    # are an *iteration-indexed* contract (reference MultiStepLR steps per
+    # iteration): we decay after the same iteration count the reference
+    # formula names.  Streaming bucketed epochs run a few extra padded
+    # steps per epoch (bucket remainders), so the decay lands a fraction
+    # of an epoch earlier relative to epoch boundaries; the iteration
+    # count itself matches the reference definition exactly.
     iters_per_epoch = max(-(-len(dataset) // batch_size), 1)
     milestones = [m * iters_per_epoch
                   for m in train_config["epoch_lr_milestones"]]
@@ -73,7 +79,7 @@ def train(args):
     # bounded memory: peek one record for shapes; epochs stream shuffled
     # records from the per-video cache (never list(dataset))
     peek = dataset[0]
-    feat_dim = peek[0].features[0].shape[1]
+    feat_dim = first_feat_dim(item[0] for item in dataset)
     spec = BucketSpec(feat_dim=feat_dim, g_bucket=32,
                       p_bucket=model_config.get("max_preds", 128))
 

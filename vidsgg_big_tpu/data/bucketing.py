@@ -175,8 +175,21 @@ def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
                 traj_mask=props.traj_mask & real[:, None])
         gts = None
         if with_gt:
+            # the GT box bucket must COVER every GT trajectory in the batch
+            # (GT trajs can outlast the proposals' frame bucket t — e.g. all
+            # proposals <=128 frames in a 470-frame video); pack_gt keeps
+            # true durations, and truncated boxes would silently zero the
+            # vIoU alignment beyond the cut
+            tg = pick_unbounded(max(
+                (b.shape[0] for r in rows for b in r[1].traj_boxes),
+                default=1), spec.t_ladder)
+            # GT trajectory count can exceed the static default on crowded
+            # real videos; grow the bucket rather than assert-crash mid-run
+            gb = pick_unbounded(max(
+                (r[1].num_trajs for r in rows), default=1),
+                (spec.g_bucket, 2 * spec.g_bucket, 4 * spec.g_bucket))
             gts = stack_batches([
-                pack_gt(r[1], spec.g_bucket, t, spec.p_bucket) for r in rows])
+                pack_gt(r[1], gb, tg, spec.p_bucket) for r in rows])
             if n_real < len(rows):
                 gts = gts.replace(
                     traj_mask=gts.traj_mask & real[:, None],

@@ -55,7 +55,12 @@ def _save_record(path, prop: VideoProposalRecord,
         })
         for i, b in enumerate(gt.traj_boxes):
             arrs[f"g_box{i}"] = b
-    np.savez_compressed(path, **arrs)
+    # atomic: a job killed mid-write (CLAUDE.md mandates `timeout` for TPU
+    # jobs) must not leave a truncated .npz that os.path.exists() accepts
+    # and every later run crashes loading
+    tmp = f"{path}.tmp.{os.getpid()}.npz"
+    np.savez_compressed(tmp, **arrs)
+    os.replace(tmp, path)
 
 
 def _load_record(path, video_name):

@@ -49,6 +49,7 @@ def prefetch(iterable: Iterable, size: int = 2,
     if device_put and _on_axon():
         device_put = False
     q: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
 
     def producer():
         try:
@@ -57,7 +58,14 @@ def prefetch(iterable: Iterable, size: int = 2,
                     item = jax.tree_util.tree_map(
                         lambda x: jax.device_put(x)
                         if hasattr(x, "shape") else x, item)
-                q.put(("ok", item))
+                while not stop.is_set():
+                    try:
+                        q.put(("ok", item), timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — forwarded to consumer
             q.put(("err", e))
             return
@@ -65,10 +73,21 @@ def prefetch(iterable: Iterable, size: int = 2,
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        kind, item = q.get()
-        if kind is _SENTINEL:
-            return
-        if kind == "err":
-            raise item
-        yield item
+    try:
+        while True:
+            kind, item = q.get()
+            if kind is _SENTINEL:
+                return
+            if kind == "err":
+                raise item
+            yield item
+    finally:
+        # consumer abandoned the generator (exception/break mid-epoch):
+        # release the producer — otherwise it blocks on q.put forever,
+        # pinning GB-scale packed batches and the dataset iterator
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -103,7 +103,12 @@ def write_synthetic_vidvrd(root: str, n_videos: int = 8, split: str = "test",
         np.save(os.path.join(prop_dir, name + ".npy"), rows)
     cfg = dict(split=split, ann_dir=ann_dir, proposal_dir=prop_dir,
                dim_boxfeature=dim_feat, min_frames_th=5, max_proposal=50,
-               max_preds=100, cache_tag="SYNTH", fmt=fmt,
+               # cache_tag must vary with everything that changes record *content*
+               # (the cache key mirrors the reference's, which relies on
+               # cache_tag discipline): re-running with a different fmt or
+               # feature dims against the same root must not reuse records
+               max_preds=100, cache_tag=f"SYNTH_{fmt}_{dim_feat}x{dim_i3d}",
+               fmt=fmt,
                cache_dir=os.path.join(root, "cache"))
     if fmt == "pku_i3d":
         cfg.update(i3d_dir=i3d_dir, dim_i3d=dim_i3d)
@@ -165,7 +170,7 @@ def write_synthetic_vidor(root: str, n_videos: int = 6, split: str = "val",
     return dict(split=split, ann_dir=ann_dir, proposal_dir=prop_dir,
                 classeme_dir=clsme_dir, max_proposal=180, max_preds=200,
                 score_th=0.4, dim_boxfeature=dim_feat, min_frames_th=5,
-                cache_tag="SYNTH",
+                cache_tag=f"SYNTH_vidor_{dim_feat}",  # varies with content
                 video_dir=video_dir if sub is None else None,
                 video_feature_dir=feat_dir if with_video_features else None,
                 cache_dir=os.path.join(root, "cache"))

@@ -148,9 +148,17 @@ def pack_proposal(rec: VideoProposalRecord, n_bucket: int, t_bucket: int,
         durations[i] = rec.durations[i]
         # clamp duration if the trajectory was truncated by the bucket
         durations[i, 1] = durations[i, 0] + L - 1
-    feats = native.pad_pack(
-        [np.asarray(f[:t_bucket], np.float32) for f in rec.features],
-        n_bucket, t_bucket)
+    if n == 0:
+        # zero-proposal videos (all tracklets background / below
+        # min_frames_th) occur in real splits: size the empty arrays from
+        # feat_dim explicitly — inferring from the (empty) record would
+        # produce (N, T, 0) leaves that crash stack_batches
+        feats = np.zeros((n_bucket, t_bucket, feat_dim), np.float32)
+    else:
+        feats = native.pad_pack(
+            [np.asarray(f[:t_bucket], np.float32) for f in rec.features],
+            n_bucket, t_bucket)
+    assert feats.shape[-1] == feat_dim, (feats.shape, feat_dim)
     feat_scale = np.float32(1.0)
     if np.dtype(dtype) == np.int8:
         # int8 feature storage: 4x less H2D/HBM traffic than f32 and the
@@ -162,9 +170,12 @@ def pack_proposal(rec: VideoProposalRecord, n_bucket: int, t_bucket: int,
         # e.g. bfloat16 feature storage: halves H2D and HBM traffic for the
         # low-precision compute path
         feats = feats.astype(dtype)
-    boxes = native.pad_pack(
-        [np.asarray(b[:t_bucket, :4], np.float32) for b in rec.boxes],
-        n_bucket, t_bucket)
+    if n == 0:
+        boxes = np.zeros((n_bucket, t_bucket, 4), np.float32)
+    else:
+        boxes = native.pad_pack(
+            [np.asarray(b[:t_bucket, :4], np.float32) for b in rec.boxes],
+            n_bucket, t_bucket)
     cat_ids[:n] = rec.cat_ids
     scores[:n] = rec.scores
     mask[:n] = True
@@ -185,7 +196,17 @@ def pack_proposal(rec: VideoProposalRecord, n_bucket: int, t_bucket: int,
 
 def pack_gt(rec: VideoGTRecord, g_bucket: int, tg_bucket: int,
             p_bucket: int) -> GraphBatch:
-    """Pad one video's GT graph into a fixed (G, Tg, P) bucket."""
+    """Pad one video's GT graph into a fixed (G, Tg, P) bucket.
+
+    ``traj_durations`` always carry the TRUE closed GT extents — clamping
+    them to the box bucket would corrupt the grounding stage's temporal
+    queries and the vIoU alignment targets for any trajectory longer than
+    the bucket (the reference never truncates GT).  Only the stored
+    per-frame boxes are capped at ``tg_bucket``: consumers of the boxes
+    (the vIoU alignment) must size ``tg_bucket`` to cover GT trajectory
+    lengths — ``bucketed_batches`` picks a covering bucket per batch; the
+    grounding train loop consumes durations only and may keep it small.
+    """
     g, p = rec.num_trajs, rec.num_preds
     assert g <= g_bucket and p <= p_bucket, (g, g_bucket, p, p_bucket)
     traj_boxes = np.zeros((g_bucket, tg_bucket, 4), dtype=np.float32)
@@ -196,7 +217,6 @@ def pack_gt(rec: VideoGTRecord, g_bucket: int, tg_bucket: int,
         L = min(rec.traj_boxes[i].shape[0], tg_bucket)
         traj_boxes[i, :L] = rec.traj_boxes[i][:L]
         traj_durations[i] = rec.traj_durations[i]
-        traj_durations[i, 1] = traj_durations[i, 0] + L - 1
     traj_cats[:g] = rec.traj_cat_ids
     traj_mask[:g] = True
 

@@ -155,8 +155,10 @@ def basec_label_assignment(props: TrackletBatch, gts: GraphBatch,
 
 
 def basec_multihot(props: TrackletBatch, gts: GraphBatch,
-                   num_pred_cats: int, positive_viou_th: float):
-    _, hit_s, hit_o = basec_label_assignment(props, gts, positive_viou_th)
+                   num_pred_cats: int, positive_viou_th: float,
+                   t_abs: int = 1024):
+    _, hit_s, hit_o = basec_label_assignment(props, gts, positive_viou_th,
+                                             t_abs=t_abs)
     onehot = jax.nn.one_hot(gts.pred_cats, num_pred_cats)      # (B, P, C)
     onehot = onehot * gts.pred_mask[..., None]
     multihot = jnp.einsum("bip,bjp,bpc->bijc", hit_s.astype(jnp.float32),
@@ -172,11 +174,12 @@ def basec_multihot(props: TrackletBatch, gts: GraphBatch,
 
 
 def basec_train_loss(outputs, props: TrackletBatch, gts: GraphBatch,
-                     cfg: BaseCConfig):
+                     cfg: BaseCConfig, t_abs: int = 1024):
     """Multi-label BCE over positive pairs only (reference
-    pairwise_baseline.py:276-310 with the positive-pair label maps)."""
+    pairwise_baseline.py:276-310 with the positive-pair label maps).
+    ``t_abs`` must cover the dataset video-length bound (VidOR: 4096)."""
     multihot, pair_pos = basec_multihot(
-        props, gts, cfg.num_pred_cats, cfg.positive_viou_th)
+        props, gts, cfg.num_pred_cats, cfg.positive_viou_th, t_abs=t_abs)
     logits = outputs["pred_logits"]                            # (B, NP, C)
     pair_ids = outputs["pair_ids"]
     labels = multihot[:, pair_ids[:, 0], pair_ids[:, 1]]       # (B, NP, C)

@@ -136,9 +136,16 @@ def bigc_losses(pred_logits, att, gts: GraphBatch, aligned_adj, traj_mask,
     return total, loss_dict
 
 
-def bigc_train_loss(outputs, props: TrackletBatch, gts: GraphBatch, cfg):
-    """Full training loss from model outputs (cfg: BigCConfig)."""
-    aligned, _ = align_gt_adjacency(props, gts, cfg.positive_viou_th)
+def bigc_train_loss(outputs, props: TrackletBatch, gts: GraphBatch, cfg,
+                    t_abs: int = 1024):
+    """Full training loss from model outputs (cfg: BigCConfig).
+
+    ``t_abs`` must cover the video-length bound of the dataset (vIoU grid
+    anchoring, ops/boxes.viou_matrix_grid): VidOR trains on videos up to
+    2700 frames, so its driver passes 4096; the 1024 default covers
+    VidVRD."""
+    aligned, _ = align_gt_adjacency(props, gts, cfg.positive_viou_th,
+                                    t_abs=t_abs)
     cost = matching_cost(
         outputs["pred_logits"], outputs["att"], gts, aligned,
         props.traj_mask, cfg.cost_coeff_cls, cfg.cost_coeff_adj)

@@ -20,7 +20,7 @@ from .train_state import TrainState
 
 
 def build_train_step(model: BigC, tx, mesh=None, donate: bool = True,
-                     state_shardings=None):
+                     state_shardings=None, t_abs: int = 1024):
     """Returns step(state, props, gts, dropout_rng) -> (state, metrics).
 
     With ``mesh`` alone: pure data parallelism (replicated params).  Pass
@@ -34,7 +34,7 @@ def build_train_step(model: BigC, tx, mesh=None, donate: bool = True,
         def loss_fn(params):
             out = model.apply(params, props, deterministic=False,
                               rngs={"dropout": rng})
-            total, d = bigc_train_loss(out, props, gts, cfg)
+            total, d = bigc_train_loss(out, props, gts, cfg, t_abs=t_abs)
             return total, d
 
         (total, d), grads = jax.value_and_grad(loss_fn, has_aux=True)(
