@@ -68,7 +68,7 @@ def test_train_vidor_resume(tmp_path_factory, tools_path):
 
 BASELINE_CONFIG = """
 model_config = dict(
-    num_enti_cats=81, num_pred_cats=51, dim_feat=364, dim_clsme=300,
+    num_enti_cats=81, num_pred_cats=51, dim_feat=64, dim_clsme=300,
     dim_enti=32, dim_ffn=32, enco_pool_len=4, use_clsme=True,
     EntiNameEmb_path=None, bias_matrix_path=None, max_preds=16)
 train_dataset_config = dict(split="train")

@@ -106,7 +106,9 @@ def train(args):
         logger.info(f"resumed from {path} at step {step} "
                     f"(epoch {start_epoch})")
 
-    step_fn = build_train_step(model, tx, mesh=mesh)
+    # t_abs=4096: ImageNet-VID snippets can run past 1024 frames; the
+    # vIoU grid must cover the video-length bound (losses.bigc_train_loss)
+    step_fn = build_train_step(model, tx, mesh=mesh, t_abs=4096)
     rng = jax.random.PRNGKey(args.seed + 1)
     it = int(state.step)
     logger.info("start training...")

@@ -51,6 +51,12 @@ class BucketSpec:
     n_ladder: Sequence[int] = DEFAULT_N_LADDER
     t_ladder: Sequence[int] = DEFAULT_T_LADDER
     g_bucket: int = 32            # GT trajectories
+    # GT per-frame box storage: one large constant bucket — GT boxes are
+    # tiny (G x Tg x 4 f32) and the vIoU grid's compute is governed by
+    # t_abs, not Tg, so over-covering is cheap; a constant keeps compiled
+    # shapes stable AND avoids fragmenting (N, T) groups by GT length.
+    # 4096 covers VidOR's 2700-frame bound; pick_unbounded doubles past it.
+    tg_bucket: int = 4096
     p_bucket: int = 128           # GT predicates
     feat_dim: int = 0
     feat_dtype: str = "float32"   # feature storage: float32/bfloat16/int8
@@ -163,7 +169,7 @@ def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
         # losses or metrics (each real video enters an epoch exactly once,
         # like the reference).
         assert len(rows) % batch_size == 0, (len(rows), batch_size)
-        n, t = key
+        n, t = key[0], key[1]
         props = stack_batches([
             pack_proposal(r[0], n, t, spec.feat_dim, dtype=dtype)
             for r in rows])
@@ -174,20 +180,10 @@ def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
             props = props.replace(
                 traj_mask=props.traj_mask & real[:, None])
         gts = None
-        if with_gt:
-            # the GT box bucket must COVER every GT trajectory in the batch
-            # (GT trajs can outlast the proposals' frame bucket t — e.g. all
-            # proposals <=128 frames in a 470-frame video); pack_gt keeps
-            # true durations, and truncated boxes would silently zero the
-            # vIoU alignment beyond the cut
-            tg = pick_unbounded(max(
-                (b.shape[0] for r in rows for b in r[1].traj_boxes),
-                default=1), spec.t_ladder)
-            # GT trajectory count can exceed the static default on crowded
-            # real videos; grow the bucket rather than assert-crash mid-run
-            gb = pick_unbounded(max(
-                (r[1].num_trajs for r in rows), default=1),
-                (spec.g_bucket, 2 * spec.g_bucket, 4 * spec.g_bucket))
+        if with_gt and rows[0][1] is not None:
+            # GT buckets come from the grouping key (see key_of below), so
+            # every batch of a key compiles at one stable shape
+            tg, gb = key[2], key[3]
             gts = stack_batches([
                 pack_gt(r[1], gb, tg, spec.p_bucket) for r in rows])
             if n_real < len(rows):
@@ -196,7 +192,28 @@ def bucketed_batches(items: Iterable, spec: BucketSpec, batch_size: int,
                     pred_mask=gts.pred_mask & real[:, None])
         return key, rows[:n_real], props, gts
 
+    def key_of(rec):
+        k = spec.bucket_of(rec[0])
+        if not with_gt:
+            return k
+        gt = rec[1]
+        # GT-derived buckets ride the key so compiled shapes are stable per
+        # key (no per-batch max => no shuffle-dependent recompiles):
+        #  - tg must COVER every GT trajectory (GT can outlast the
+        #    proposals' frame bucket; pack_gt keeps true durations, and
+        #    truncated boxes would silently zero the vIoU alignment) — the
+        #    large constant spec.tg_bucket keeps it one value in practice
+        #  - gb grows past the default on crowded videos instead of
+        #    assert-crashing mid-run
+        tg = pick_unbounded(max(
+            (b.shape[0] for b in gt.traj_boxes), default=1)
+            if gt is not None else 1, (spec.tg_bucket,))
+        gb = pick_unbounded(
+            gt.num_trajs if gt is not None else 1,
+            (spec.g_bucket, 2 * spec.g_bucket, 4 * spec.g_bucket))
+        return (*k, tg, gb)
+
     for key, rows, n_real in stream_buckets(
-            items, lambda rec: spec.bucket_of(rec[0]), batch_size,
+            items, key_of, batch_size,
             max_pending=max_pending, drop_last=drop_last):
         yield emit(key, rows, n_real)

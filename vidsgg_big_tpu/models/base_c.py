@@ -35,6 +35,7 @@ class BaseCConfig:
     use_name_emb: bool = False     # True -> EntiNameEmb lookup
     rt_triplets_topk: int = 0
     positive_viou_th: float = 0.5
+    compute_dtype: str = "float32"   # lowers the tracklet-encoder matmuls
 
     @classmethod
     def from_dict(cls, d: dict):
@@ -46,7 +47,8 @@ class BaseCConfig:
             use_clsme=d.get("use_clsme", True),
             use_name_emb=d.get("EntiNameEmb_path") is not None,
             rt_triplets_topk=d.get("rt_triplets_topk", 0),
-            positive_viou_th=d.get("positive_vIoU_th", 0.5))
+            positive_viou_th=d.get("positive_vIoU_th", 0.5),
+            compute_dtype=d.get("compute_dtype", "float32"))
 
 
 def ordered_pair_ids(n: int) -> np.ndarray:
@@ -61,24 +63,30 @@ class BaseC(nn.Module):
 
     def load_tables(self, params, bias_matrix: np.ndarray):
         """Overwrite the trainable bias_matrix with a precomputed prior
-        (same contract as BigC.load_tables; shared by the train/eval CLIs
-        and the serving exporter)."""
-        import flax
-        flat = flax.traverse_util.flatten_dict(params)
-        for k in list(flat):
-            if k[-1] == "bias_matrix":
-                assert flat[k].shape == bias_matrix.shape
-                flat[k] = jnp.asarray(bias_matrix)
-        return flax.traverse_util.unflatten_dict(flat)
+        (same contract as BigC.load_tables)."""
+        from .big_c import load_bias_matrix
+        return load_bias_matrix(params, bias_matrix)
 
     @nn.compact
     def __call__(self, batch: TrackletBatch, deterministic: bool = True):
         """Returns dict with pred_logits (B, NP, C), pair_ids (NP, 2),
         pair_mask (B, NP), enti_feat (B, N, E)."""
         cfg = self.cfg
+        consumed = cfg.dim_clsme if (cfg.use_clsme and
+                                     not cfg.use_name_emb) else 0
+        # same width contract as BigC: exact when the classeme tail is
+        # consumed, tolerant of unread tail channels otherwise (the VidOR
+        # loaders always concatenate the 300-d classeme)
+        if consumed:
+            assert batch.feats.shape[-1] == cfg.dim_feat + consumed, (
+                batch.feats.shape[-1], cfg.dim_feat, consumed)
+        else:
+            assert batch.feats.shape[-1] >= cfg.dim_feat, (
+                batch.feats.shape[-1], cfg.dim_feat)
         enti2enco, extra = TrackletEncoder(
             cfg.dim_enti, cfg.dim_feat, cfg.enco_pool_len,
-            kernel_init=xavier_normal, name="tracklet_encoder")(batch)
+            kernel_init=xavier_normal, compute_dtype=cfg.compute_dtype,
+            name="tracklet_encoder")(batch)
         b, n = enti2enco.shape[:2]
         pair_ids = jnp.asarray(ordered_pair_ids(n))            # (NP, 2)
         pair_mask = (jnp.take(batch.traj_mask, pair_ids[:, 0], axis=-1) &

@@ -253,13 +253,20 @@ class BigC(nn.Module):
         consumed = (cfg.dim_i3d or 0) + (
             cfg.dim_clsme if cfg.clsme_in_feats else 0)
         expect = cfg.dim_feat + consumed
-        # >= not ==: the reference slices traj_features[:, :, :dim_feat] and
-        # ignores unconsumed tail channels (reference model_0v7.py:441-447)
-        # — VidOR tracklet files always carry the 300-d classeme concat,
-        # which the exp4 head (use_clsme=False) never reads
-        assert batch.feats.shape[-1] >= expect, (
-            f"feature dim {batch.feats.shape[-1]} < dim_feat"
-            f"+dim_i3d/clsme = {expect}; check dataset fmt vs model config")
+        if consumed:
+            # paths that consume the tail (v10 i3d, v7 classeme) ship at
+            # exactly the on-disk width — keep the strict misconfig guard
+            assert batch.feats.shape[-1] == expect, (
+                f"feature dim {batch.feats.shape[-1]} != dim_feat"
+                f"+dim_i3d/clsme = {expect}; check dataset fmt vs config")
+        else:
+            # no extras consumed: the reference slices [:, :, :dim_feat]
+            # and ignores tail channels (reference model_0v7.py:441-447) —
+            # VidOR files always carry the 300-d classeme concat, which the
+            # exp4 head (use_clsme=False) never reads
+            assert batch.feats.shape[-1] >= expect, (
+                f"feature dim {batch.feats.shape[-1]} < dim_feat = "
+                f"{expect}; check dataset fmt vs model config")
         if batch.feats.dtype == jnp.int8 and not deterministic:
             # int8 storage is an inference path (the quantized kernel has no
             # useful gradient); training dequantizes once up front
@@ -380,10 +387,16 @@ class BigC(nn.Module):
 
     def load_tables(self, params, bias_matrix: np.ndarray):
         """Overwrite the trainable bias_matrix with a precomputed prior."""
-        import flax
-        flat = flax.traverse_util.flatten_dict(params)
-        for k in list(flat):
-            if k[-1] == "bias_matrix":
-                assert flat[k].shape == bias_matrix.shape
-                flat[k] = jnp.asarray(bias_matrix)
-        return flax.traverse_util.unflatten_dict(flat)
+        return load_bias_matrix(params, bias_matrix)
+
+
+def load_bias_matrix(params, bias_matrix):
+    """Overwrite every ``bias_matrix`` leaf with the precomputed prior
+    (shared by BigC/BaseC ``load_tables`` and the CLIs/exporter)."""
+    import flax
+    flat = flax.traverse_util.flatten_dict(params)
+    for k in list(flat):
+        if k[-1] == "bias_matrix":
+            assert flat[k].shape == bias_matrix.shape
+            flat[k] = jnp.asarray(bias_matrix)
+    return flax.traverse_util.unflatten_dict(flat)

@@ -216,9 +216,13 @@ class RoleAttnDecoderLayer(nn.Module):
         from ..ops.pallas_role_attn import (role_attention,
                                             role_attention_reference)
         import jax
+        # inference only: pallas_call has no reverse-mode AD rule, so the
+        # kernel must never engage inside a grad trace (training passes
+        # deterministic=False) — jax.grad would fail at linearization
         auto_pallas = (pred_query.shape[0] >= 24
                        and jax.default_backend() != "cpu")
-        fn = (role_attention if (self.use_pallas or auto_pallas)
+        fn = (role_attention
+              if deterministic and (self.use_pallas or auto_pallas)
               else role_attention_reference)
         att, values = fn(p, e, enco_output, traj_mask,
                          dim_enti=self.dim_enti)
