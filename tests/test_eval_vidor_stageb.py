@@ -24,14 +24,14 @@ def _scalar_replay(video_len, quint, scores3, duras, pooled, bins_probs,
             if not bins_mask[i, k]:
                 continue
             s, e = pooled[i, k]
-            fs = int(round(float(s) * video_len))
-            fe = int(round(float(e) * video_len))
-            fs = max(0, min(fs, video_len - 2))
-            fe = max(fs + 1, min(fe, video_len - 1))
+            # reference semantics: plain round of the normalized span
+            # (reference tools/eval_vidor.py:254); the clip only guards
+            # float noise at the window edges and keeps fs <= fe closed
             ds, de = int(duras[i][0]), int(duras[i][1])
-            fs, fe = max(fs, ds), min(fe, de)
-            if fe <= fs:
-                fs, fe = ds, de
+            fs = int(np.rint(float(s) * video_len))
+            fe = int(np.rint(float(e) * video_len))
+            fs = max(ds, min(fs, de))
+            fe = max(fs, min(fe, de))
             out_q.append(quint[i])
             out_s.append(cls_score[i] * float(bins_probs[i, k]))
             out_d.append((fs, fe))

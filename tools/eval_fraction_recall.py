@@ -28,7 +28,9 @@ def main(args):
         parts = video_name.split("_")
         return parts[1] if len(parts) == 2 else video_name
 
-    gts = (it[-1] for it in dataset)
+    # GT records only: going through __getitem__ would materialize every
+    # video's full I3D clip-feature array just to discard it
+    gts = (dataset.get_data(n)[1] for n in dataset.video_name_list)
     out = fraction_recall(gts, hit_infos, reset_name=reset_name)
     logger.info("---------------video-level----------------")
     for s in ("overall", "single", "multiple"):

@@ -21,6 +21,7 @@ from vidsgg_big_tpu.train.train_state import (
     make_optimizer, create_train_state, load_checkpoint)
 from vidsgg_big_tpu.train.steps import build_infer_step
 from vidsgg_big_tpu.train.grounding_steps import build_grounding_infer_step
+from vidsgg_big_tpu.train.grounding_data import prepare_grounding_queries
 from vidsgg_big_tpu.evaluation.convert import EvalFmtCvtor
 from vidsgg_big_tpu.evaluation.metrics import eval_relation_with_gt
 
@@ -132,20 +133,20 @@ _q_bucket_of = _t_bucket_of = pick_unbounded
 
 def _expand_bins(prop, quint, scores3, duras, pooled, bins_probs, bins_mask):
     """Vectorized (K+1)-bin expansion of one video's triplets: score =
-    cls_score x bin_prob, frames = round(norm_span x video_len) clamped into
-    the subject∩object overlap (reference tools/eval_vidor.py:246-253)."""
+    cls_score x bin_prob, frames = round(norm_span x video_len) — exactly
+    the reference's torch.round, no extra clamping (reference
+    tools/eval_vidor.py:246-254; the decode already clamped every span
+    into the subject∩object window, grounding_decode).  A single-frame
+    span (fs == fe, closed) is a legal output.  The clip below only guards
+    against float-rounding noise at the window edges."""
     video_len = prop.video_len
     m, k1 = bins_mask.shape
-    fs = np.rint(pooled[..., 0] * video_len).astype(np.int64)   # (m, K1)
-    fe = np.rint(pooled[..., 1] * video_len).astype(np.int64)
-    fs = np.clip(fs, 0, video_len - 2)
-    fe = np.maximum(fs + 1, np.minimum(fe, video_len - 1))
     ds = duras[:, 0:1].astype(np.int64)
     de = duras[:, 1:2].astype(np.int64)
-    fs, fe = np.maximum(fs, ds), np.minimum(fe, de)
-    bad = fe <= fs
-    fs = np.where(bad, np.broadcast_to(ds, fs.shape), fs)
-    fe = np.where(bad, np.broadcast_to(de, fe.shape), fe)
+    fs = np.rint(pooled[..., 0] * video_len).astype(np.int64)   # (m, K1)
+    fe = np.rint(pooled[..., 1] * video_len).astype(np.int64)
+    fs = np.clip(fs, ds, de)
+    fe = np.clip(fe, fs, de)
     scores = scores3.mean(-1)[:, None] * bins_probs             # (m, K1)
     sel = bins_mask
     if not sel.any():
@@ -216,8 +217,12 @@ def evaluate_combined(args, logger, all_cfgs, infer_results, rows, dataset):
                 feats[i, :nc] = vf[:nc]
                 clips[i] = nc
                 m = quint.shape[0]
-                qc[i, :m] = quint[:, [1, 0, 2]]   # [s_cat, pred, o_cat]
-                temp[i, :m] = duras.astype(np.float32) / prop.video_len
+                # shared with training-side query conventions
+                # (train/grounding_data.py) so they can never diverge
+                q_cats, q_temp, _ = prepare_grounding_queries(
+                    quint, duras, None, prop.video_len)
+                qc[i, :m] = np.asarray(q_cats)
+                temp[i, :m] = np.asarray(q_temp)
                 qm[i, :m] = True
             clip_mask = np.arange(t_bucket)[None] < clips[:, None]
             if params is None:
@@ -257,6 +262,12 @@ def main(args):
     infer_results, rows, dataset = evaluate_cls_stage(args, logger,
                                                       all_cfgs)
     cvt = EvalFmtCvtor("vidor")
+    if args.grounding_cfg_path:
+        # loud, not silent: reporting stage-A numbers under a grounded
+        # save_tag would corrupt a parity rehearsal
+        assert dataset.use_video_features, (
+            "--grounding_cfg_path passed but the dataset config has no "
+            "video_feature_dir (stage B needs I3D clip features)")
     if args.grounding_cfg_path and dataset.use_video_features:
         predict_relations = evaluate_combined(
             args, logger, all_cfgs, infer_results, rows, dataset)

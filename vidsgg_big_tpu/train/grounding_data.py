@@ -99,9 +99,14 @@ def prepare_grounding_queries(quintuples, dura_inters, valid, video_len):
 
     quintuples: (M, 5) [pred, s_cat, o_cat, s_tid, o_tid]; dura_inters:
     (M, 2) closed; returns (query_cats (M,3), temporal (M,2), query_mask).
+
+    Pure numpy on purpose: the stage-B eval loop calls this per video on
+    the host (often on a packing thread) — device ops per video would
+    serialize against the axon tunnel.  Shared with eval so the query
+    conventions can never diverge from :func:`prepare_grounding_gt`.
     """
-    vl = jnp.asarray(video_len, jnp.float32)
-    query_cats = jnp.stack(
-        [quintuples[:, 1], quintuples[:, 0], quintuples[:, 2]], axis=-1)
-    temporal = dura_inters.astype(jnp.float32) / vl
+    import numpy as _np
+    q = _np.asarray(quintuples)
+    query_cats = _np.stack([q[:, 1], q[:, 0], q[:, 2]], axis=-1)
+    temporal = _np.asarray(dura_inters, _np.float32) / _np.float32(video_len)
     return query_cats, temporal, valid
