@@ -337,6 +337,94 @@ def test_zero_shot_eval():
     assert mAP0 == 0.0
 
 
+def test_zero_shot_matches_reference_protocol(reference_eval):
+    """evaluate_zero_shot == the reference's zero-shot relation evaluation
+    (reference VidVRD-helper/evaluate.py:22-53): triplet filtering replicated
+    step for step, metrics from the reference evaluate() as oracle — for both
+    the 'new' and 'old' protocols."""
+    _, ref_vrd = reference_eval
+    from vidsgg_big_tpu.evaluation.zero_shot import evaluate_zero_shot
+
+    rng = np.random.default_rng(13)
+    names = ["dog", "person", "ride", "next_to", "car", "bicycle"]
+    gt, pred = {}, {}
+    for v in range(5):
+        g = _random_relations(rng, 7, 90, names, with_score=False)
+        gt[f"v{v}"] = g
+        pred[f"v{v}"] = _noisy_copy(rng, g[:4], jitter=1.5) + \
+            _random_relations(rng, 6, 90, names, with_score=True)
+    test_triplets = {tuple(r["triplet"]) for rels in gt.values()
+                     for r in rels}
+    train_triplets = set(sorted(test_triplets)[: len(test_triplets) // 2])
+
+    for use_old in (False, True):
+        # reference evaluate_relation's zero-shot body, replicated verbatim
+        zeroshot_triplets = test_triplets.difference(train_triplets)
+        ref_gt, zs_prediction = {}, {}
+        for vid in gt:
+            zs_gt_relations = [r for r in gt[vid]
+                               if tuple(r["triplet"]) in zeroshot_triplets]
+            if len(zs_gt_relations) > 0:
+                ref_gt[vid] = zs_gt_relations
+                if use_old:
+                    zs_prediction[vid] = pred[vid]
+                else:
+                    zs_prediction[vid] = [
+                        r for r in pred.get(vid, [])
+                        if tuple(r["triplet"]) in zeroshot_triplets]
+        ref_out = ref_vrd.evaluate(ref_gt, zs_prediction)
+        ours = evaluate_zero_shot(gt, pred, train_triplets,
+                                  use_old_zeroshot_eval=use_old)
+        np.testing.assert_allclose(ours[0], ref_out[0], rtol=1e-9)
+        for k in (50, 100):
+            np.testing.assert_allclose(ours[1][k], ref_out[1][k], rtol=1e-9)
+        for k in (1, 5, 10):
+            np.testing.assert_allclose(ours[2][k], ref_out[2][k], rtol=1e-9)
+
+
+def test_zero_shot_eval_cli(tmp_path):
+    """tools/eval_vidvrd.py --zeroshot end-to-end on synthetic data: train
+    triplets collected from annotation JSONs, zero-shot block in the metrics
+    JSON."""
+    import argparse
+    import json as _json
+
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    sys.path.insert(0, tools)
+    try:
+        import eval_vidvrd
+    finally:
+        sys.path.remove(tools)
+
+    from vidsgg_big_tpu.data.synthetic_raw import write_synthetic_vidvrd
+    root = str(tmp_path / "syn")
+    os.makedirs(root, exist_ok=True)
+    # train split written first; the CLI's --synthetic writes the test split
+    # into the same root (shared ann_dir => default --train_anno_rpath works)
+    write_synthetic_vidvrd(root, n_videos=3, split="train", seed=9)
+
+    repo = os.path.dirname(tools)
+    demo_cfg = os.path.join(repo, "experiments", "demo", "config_smoke_.py")
+    mj = str(tmp_path / "metrics.json")
+    res = eval_vidvrd.inference_then_eval(argparse.Namespace(
+        cfg_path=demo_cfg, ckpt_path=None, tables_path=None,
+        use_pku=True, fmt="pku_i3d", save_tag="zs",
+        output_dir=str(tmp_path), topk=3, batch_size=2,
+        gt_json=None, json_results_path=None, metrics_json=mj,
+        save_infer_result=False, save_json_results=False,
+        data_parallel=False, feat_dtype="float32",
+        synthetic=3, synthetic_root=root, synthetic_model_dims=False,
+        compute_dtype=None, zeroshot=True, old_zeroshot_eval=False,
+        train_anno_rpath=None))
+    assert np.isfinite(res[0])
+    with open(mj) as f:
+        m = _json.load(f)
+    assert "zero_shot" in m
+    assert 0.0 <= m["zero_shot"]["mAP"] <= 1.0
+    assert set(m["zero_shot"]["recall"]) == {"50", "100"}
+
+
 def test_action_detection_eval():
     from vidsgg_big_tpu.evaluation.action_detection import eval_action
     rng = np.random.default_rng(12)

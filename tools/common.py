@@ -44,21 +44,29 @@ def load_side_tables(tables_path, enti_emb=None):
     return enti_emb, pos
 
 
-def write_metrics_json(path, out):
+def write_metrics_json(path, out, zero_shot=None):
     """Dump (mean_ap, recall@K, tagging precision@K) from
     eval_relation_with_gt as machine-readable JSON (consumed by
-    scripts/diff_baseline.py for real-data parity rehearsal)."""
+    scripts/diff_baseline.py for real-data parity rehearsal).
+    ``zero_shot``: optional same-shaped tuple from evaluate_zero_shot,
+    written under a "zero_shot" key."""
     import json
 
-    mean_ap, rec_at_n, prec_at_n = out
-    d = os.path.dirname(os.path.abspath(path))
-    os.makedirs(d, exist_ok=True)
-    with open(path, "w") as f:
-        json.dump({
+    def _d(tup):
+        mean_ap, rec_at_n, prec_at_n = tup
+        return {
             "mAP": float(mean_ap),
             "recall": {str(k): float(v) for k, v in rec_at_n.items()},
             "precision": {str(k): float(v) for k, v in prec_at_n.items()},
-        }, f, indent=1)
+        }
+
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    payload = _d(out)
+    if zero_shot is not None:
+        payload["zero_shot"] = _d(zero_shot)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
 
 
 def make_dataset(dataset_config, dataset_type, synthetic=0, synthetic_root=None,

@@ -10,6 +10,7 @@ import jax
 
 from common import (make_dataset, load_tables, load_side_tables,
                     write_metrics_json, first_feat_dim)
+from eval_vidvrd import _maybe_zero_shot
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger
 from vidsgg_big_tpu.data.bucketing import (BucketSpec, bucketed_batches,
@@ -320,8 +321,12 @@ def main(args):
             dataset_type="vidor", logger=logger,
             prediction_results=predict_relations,
             gt_relations_path=args.gt_json, gt_relations=gt_relations)
+    zs_cfg = ({"ann_dir": os.path.dirname(dataset.video_ann_dir)}
+              if getattr(dataset, "video_ann_dir", None) else None)
+    zs = _maybe_zero_shot(args, logger, "vidor", predict_relations,
+                          gt_relations, zs_cfg)
     if getattr(args, 'metrics_json', None):
-        write_metrics_json(args.metrics_json, tuple(out))
+        write_metrics_json(args.metrics_json, tuple(out), zero_shot=zs)
         logger.info(f"metrics json saved at {args.metrics_json}")
 
 
@@ -357,4 +362,14 @@ if __name__ == "__main__":
     parser.add_argument("--tables_path", type=str, default=None,
                         help="tables.npz from tools/convert_checkpoint.py "
                              "(frozen EntiNameEmb / pos-emb table)")
+    parser.add_argument("--zeroshot", action="store_true",
+                        help="additionally evaluate in the zero-shot setting "
+                             "(triplets unseen in the training split; "
+                             "reference VidVRD-helper/evaluate.py:22-53)")
+    parser.add_argument("--old_zeroshot_eval", action="store_true",
+                        help="keep non-zero-shot predictions in zero-shot "
+                             "videos (the reference's 'old' protocol)")
+    parser.add_argument("--train_anno_rpath", type=str, default=None,
+                        help="annotation root containing the training split "
+                             "(default: derived from the dataset config)")
     main(parser.parse_args())

@@ -25,6 +25,54 @@ from vidsgg_big_tpu.evaluation.convert import EvalFmtCvtor
 from vidsgg_big_tpu.evaluation.metrics import eval_relation_with_gt
 
 
+def _maybe_zero_shot(args, logger, dataset_type, predict_relations,
+                     gt_relations, ds_cfg=None):
+    """--zeroshot: relation metrics restricted to triplets unseen at train
+    time (capability-parity with reference VidVRD-helper/evaluate.py:22-53).
+    Train triplets come from the train-split annotation JSONs under
+    --train_anno_rpath (default: the dataset config's ann_dir)."""
+    if not getattr(args, "zeroshot", False):
+        return None
+    from vidsgg_big_tpu.evaluation.zero_shot import (collect_train_triplets,
+                                                     evaluate_zero_shot)
+    ann = getattr(args, "train_anno_rpath", None) or \
+        (ds_cfg or {}).get("ann_dir")
+    assert ann, ("--zeroshot needs --train_anno_rpath (or a dataset config "
+                 "with ann_dir)")
+    if getattr(args, "synthetic", 0):
+        # --synthetic fabricates everything a run needs; that includes a
+        # train split for the zero-shot triplet collection
+        import glob
+        from vidsgg_big_tpu.data import synthetic_raw
+        if dataset_type == "vidvrd":
+            if not glob.glob(os.path.join(ann, "train", "*.json")):
+                synthetic_raw.write_synthetic_vidvrd(
+                    os.path.dirname(os.path.abspath(ann)),
+                    n_videos=int(args.synthetic), split="train", seed=1)
+        elif not glob.glob(os.path.join(ann, "training", "*", "*.json")):
+            synthetic_raw.write_synthetic_vidor(
+                os.path.dirname(os.path.dirname(os.path.abspath(ann))),
+                n_videos=int(args.synthetic), split="train", seed=1,
+                with_video_features=False)
+    train_triplets = collect_train_triplets(dataset_type, ann)
+    logger.info(f"zero-shot: {len(train_triplets)} train triplets "
+                f"collected from {ann}")
+    if gt_relations is None:
+        import json as _json
+        gt_path = args.gt_json
+        assert gt_path, "--zeroshot with --json_results_path needs --gt_json"
+        with open(gt_path) as f:
+            gt_relations = _json.load(f)
+    if not isinstance(predict_relations, dict):
+        import json as _json
+        with open(args.json_results_path) as f:
+            predict_relations = _json.load(f)
+    return evaluate_zero_shot(
+        gt_relations, predict_relations, train_triplets,
+        use_old_zeroshot_eval=getattr(args, "old_zeroshot_eval", False),
+        logger=logger)
+
+
 def inference_then_eval(args):
     experiment_dir = args.output_dir or os.path.dirname(args.cfg_path)
     log_dir = os.path.join(experiment_dir, "logfile")
@@ -42,8 +90,10 @@ def inference_then_eval(args):
             dataset_type="vidvrd", logger=logger,
             json_results_path=args.json_results_path,
             gt_relations_path=args.gt_json)
+        zs = _maybe_zero_shot(args, logger, "vidvrd",
+                              args.json_results_path, None)
         if getattr(args, 'metrics_json', None):
-            write_metrics_json(args.metrics_json, out)
+            write_metrics_json(args.metrics_json, out, zero_shot=zs)
         return out
 
     dims = ({"dim_feat": model_config["dim_feat"],
@@ -53,7 +103,7 @@ def inference_then_eval(args):
     # --use_pku alone implies the flagship pku_i3d format; with neither, the
     # dataset config's own fmt key applies (exp1=pku, exp2=pku_i3d, exp3=mega)
     fmt = args.fmt or ("pku_i3d" if args.use_pku else None)
-    dataset, _ = make_dataset(
+    dataset, ds_cfg = make_dataset(
         all_cfgs["test_dataset_config"], "vidvrd",
         synthetic=args.synthetic, synthetic_root=args.synthetic_root,
         fmt=fmt, **dims)
@@ -137,8 +187,10 @@ def inference_then_eval(args):
         dataset_type="vidvrd", logger=logger,
         prediction_results=predict_relations,
         gt_relations_path=gt_path, gt_relations=gt_relations)
+    zs = _maybe_zero_shot(args, logger, "vidvrd", predict_relations,
+                          gt_relations, ds_cfg)
     if getattr(args, 'metrics_json', None):
-        write_metrics_json(args.metrics_json, out)
+        write_metrics_json(args.metrics_json, out, zero_shot=zs)
         logger.info(f"metrics json saved at {args.metrics_json}")
 
     if args.save_json_results:
@@ -185,4 +237,14 @@ if __name__ == "__main__":
     parser.add_argument("--tables_path", type=str, default=None,
                         help="tables.npz from tools/convert_checkpoint.py "
                              "(frozen EntiNameEmb / pos-emb table)")
+    parser.add_argument("--zeroshot", action="store_true",
+                        help="additionally evaluate in the zero-shot setting "
+                             "(triplets unseen in the train split; reference "
+                             "VidVRD-helper/evaluate.py:22-53)")
+    parser.add_argument("--old_zeroshot_eval", action="store_true",
+                        help="keep non-zero-shot predictions in zero-shot "
+                             "videos (the reference's 'old' protocol)")
+    parser.add_argument("--train_anno_rpath", type=str, default=None,
+                        help="annotation root containing the train split "
+                             "(default: the dataset config's ann_dir)")
     inference_then_eval(parser.parse_args())

@@ -42,9 +42,9 @@ def _annotation_from_gt(gt, dataset_type: str = "vidvrd") -> dict:
             "begin_fid": int(gt.pred_durations[p, 0]),
             "end_fid": int(gt.pred_durations[p, 1]) + 1,
         })
-    return {"trajectories": frames, "subject/objects": entities,
-            "relation_instances": rels, "width": int(gt.video_wh[0]),
-            "height": int(gt.video_wh[1])}
+    return {"video_id": gt.video_name, "trajectories": frames,
+            "subject/objects": entities, "relation_instances": rels,
+            "width": int(gt.video_wh[0]), "height": int(gt.video_wh[1])}
 
 
 def _rows_from_proposal(prop, fmt: str, dim_feat: int, rng):
