@@ -425,6 +425,43 @@ def test_zero_shot_eval_cli(tmp_path):
     assert set(m["zero_shot"]["recall"]) == {"50", "100"}
 
 
+def test_visualize_cli(tmp_path):
+    """tools/visualize.py renders GT annotations and prediction JSONs to
+    video files (reference VidVRD-helper/visualize.py equivalent)."""
+    import argparse
+
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    sys.path.insert(0, tools)
+    try:
+        import visualize as viz
+    finally:
+        sys.path.remove(tools)
+
+    base = dict(anno=None, prediction_json=None, video_dir=None,
+                topk=5, max_videos=1, fps=25, canvas="320x240",
+                synthetic=0, synthetic_root=None)
+    # GT mode via --synthetic
+    outs = viz.main(argparse.Namespace(
+        **dict(base, out_dir=str(tmp_path / "gt"), synthetic=2,
+               synthetic_root=str(tmp_path / "syn"))))
+    assert len(outs) == 1 and os.path.getsize(outs[0]) > 0
+
+    # prediction mode from a challenge-format JSON (blank canvas)
+    import json as _json
+    rel = {"triplet": ["dog", "chase", "person"], "score": 0.9,
+           "duration": [2, 6],
+           "sub_traj": [[10, 10, 50, 50]] * 4,
+           "obj_traj": [[60, 60, 120, 120]] * 4}
+    pj = tmp_path / "preds.json"
+    with open(pj, "w") as f:
+        _json.dump({"results": {"v0": [rel]}}, f)
+    outs = viz.main(argparse.Namespace(
+        **dict(base, out_dir=str(tmp_path / "pr"),
+               prediction_json=str(pj))))
+    assert len(outs) == 1 and os.path.getsize(outs[0]) > 0
+
+
 def test_action_detection_eval():
     from vidsgg_big_tpu.evaluation.action_detection import eval_action
     rng = np.random.default_rng(12)

@@ -90,16 +90,7 @@ class AnnotationDataset:
 
     # -- instance extraction --
     def get_object_insts(self, vid):
-        anno = self.get_anno(vid)
-        tid2cls = {o["tid"]: o["category"] for o in anno["subject/objects"]}
-        traj = defaultdict(dict)
-        for fid, frame in enumerate(anno["trajectories"]):
-            for roi in frame:
-                traj[roi["tid"]][str(fid)] = (
-                    roi["bbox"]["xmin"], roi["bbox"]["ymin"],
-                    roi["bbox"]["xmax"], roi["bbox"]["ymax"])
-        return [{"tid": tid, "category": tid2cls[tid], "trajectory": t}
-                for tid, t in traj.items()]
+        return object_insts_from_anno(self.get_anno(vid))
 
     def get_action_insts(self, vid):
         anno = self.get_anno(vid)
@@ -122,30 +113,47 @@ class AnnotationDataset:
 
     def get_relation_insts(self, vid, no_traj: bool = False):
         """Challenge-format GT relation instances of one video."""
-        anno = self.get_anno(vid)
-        sub_objs = {o["tid"]: o["category"] for o in anno["subject/objects"]}
+        return relation_insts_from_anno(self.get_anno(vid), no_traj=no_traj)
+
+
+def object_insts_from_anno(anno: dict):
+    """Per-tid trajectories of one raw annotation dict."""
+    tid2cls = {o["tid"]: o["category"] for o in anno["subject/objects"]}
+    traj = defaultdict(dict)
+    for fid, frame in enumerate(anno["trajectories"]):
+        for roi in frame:
+            traj[roi["tid"]][str(fid)] = (
+                roi["bbox"]["xmin"], roi["bbox"]["ymin"],
+                roi["bbox"]["xmax"], roi["bbox"]["ymax"])
+    return [{"tid": tid, "category": tid2cls[tid], "trajectory": t}
+            for tid, t in traj.items()]
+
+
+def relation_insts_from_anno(anno: dict, no_traj: bool = False):
+    """Challenge-format relation instances of one raw annotation dict."""
+    sub_objs = {o["tid"]: o["category"] for o in anno["subject/objects"]}
+    if not no_traj:
+        trajs = []
+        for frame in anno["trajectories"]:
+            trajs.append({b["tid"]: (b["bbox"]["xmin"], b["bbox"]["ymin"],
+                                     b["bbox"]["xmax"], b["bbox"]["ymax"])
+                          for b in frame})
+    insts = []
+    for ins in anno["relation_instances"]:
+        inst = {
+            "triplet": (sub_objs[ins["subject_tid"]], ins["predicate"],
+                        sub_objs[ins["object_tid"]]),
+            "subject_tid": ins["subject_tid"],
+            "object_tid": ins["object_tid"],
+            "duration": (ins["begin_fid"], ins["end_fid"]),
+        }
         if not no_traj:
-            trajs = []
-            for frame in anno["trajectories"]:
-                trajs.append({b["tid"]: (b["bbox"]["xmin"], b["bbox"]["ymin"],
-                                         b["bbox"]["xmax"], b["bbox"]["ymax"])
-                              for b in frame})
-        insts = []
-        for ins in anno["relation_instances"]:
-            inst = {
-                "triplet": (sub_objs[ins["subject_tid"]], ins["predicate"],
-                            sub_objs[ins["object_tid"]]),
-                "subject_tid": ins["subject_tid"],
-                "object_tid": ins["object_tid"],
-                "duration": (ins["begin_fid"], ins["end_fid"]),
-            }
-            if not no_traj:
-                inst["sub_traj"] = [b[ins["subject_tid"]] for b in
-                                    trajs[ins["begin_fid"]:ins["end_fid"]]]
-                inst["obj_traj"] = [b[ins["object_tid"]] for b in
-                                    trajs[ins["begin_fid"]:ins["end_fid"]]]
-            insts.append(inst)
-        return insts
+            inst["sub_traj"] = [b[ins["subject_tid"]] for b in
+                                trajs[ins["begin_fid"]:ins["end_fid"]]]
+            inst["obj_traj"] = [b[ins["object_tid"]] for b in
+                                trajs[ins["begin_fid"]:ins["end_fid"]]]
+        insts.append(inst)
+    return insts
 
 
 class VidVRD(AnnotationDataset):

@@ -12,6 +12,47 @@ _COLORS = [(230, 25, 75), (60, 180, 75), (255, 225, 25), (0, 130, 200),
            (210, 245, 60), (250, 190, 190), (0, 128, 128), (230, 190, 255)]
 
 
+def read_video_frames(path: str):
+    """Decode a whole video into a list of HxWx3 uint8 frames."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {path}")
+    frames = []
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame)
+    finally:
+        cap.release()
+    return frames
+
+
+def prediction_insts(relations, topk: int = 10):
+    """Challenge-format prediction relations of one video -> renderable
+    (object_insts, relation_insts): the top-k scoring relations' subject /
+    object trajectories become boxed tracklets, the triplets become captions.
+    Prediction trajectories start at duration[0] (half-open [start, end),
+    the challenge-JSON convention)."""
+    rels = sorted(relations, key=lambda r: -float(r.get("score", 0.0)))[:topk]
+    objs, rinsts = [], []
+    for i, r in enumerate(rels):
+        s, _ = r["duration"]
+        for j, (role, cat) in enumerate(
+                [("sub_traj", r["triplet"][0]), ("obj_traj", r["triplet"][2])]):
+            objs.append({
+                "tid": 2 * i + j,
+                "category": f"{cat}({r.get('score', 0.0):.2f})",
+                "trajectory": {str(s + k): b
+                               for k, b in enumerate(r.get(role, []))}})
+        rinsts.append({"triplet": list(r["triplet"]),
+                       "duration": tuple(r["duration"])})
+    return objs, rinsts
+
+
 def render_video_annotations(frames, object_insts, relation_insts=None,
                              out_path=None, fps: int = 25):
     """Draw per-frame boxes (+ optional active relation captions).
