@@ -37,6 +37,32 @@ def best_window(run_window, n_windows=N_WINDOWS):
     return min(run_window() for _ in range(n_windows))
 
 
+V5E_PEAK_TFLOPS = 197.0   # one v5e chip, bf16 MXU peak
+
+
+def mfu_fields(extra, name, jitted, args_, dt_s, peak_tf=V5E_PEAK_TFLOPS):
+    """Per-stage achieved TFLOP/s and MFU into the bench JSON.
+
+    FLOPs come from XLA's compiled cost analysis (algorithmic FLOPs of the
+    whole program — matmuls counted unpadded, so head-dim/feature-dim MXU
+    padding waste shows up as LOW MFU rather than being flattered away);
+    time is the stage's measured per-call wall time; peak is the v5e bf16
+    MXU rate.  Best-effort: silently skipped where the backend can't report.
+    """
+    try:
+        ca = jitted.lower(*args_).compile().cost_analysis()
+        if not isinstance(ca, dict):
+            ca = ca[0]
+        fl = float(ca.get("flops", 0.0))
+        if fl > 0.0 and dt_s > 0.0:
+            tf = fl / dt_s / 1e12
+            extra[f"{name}_tflops"] = round(tf, 2)
+            extra[f"{name}_mfu_pct"] = round(100.0 * tf / peak_tf, 2)
+    except Exception as e:
+        print(f"[mfu] {name}: cost analysis unavailable: {e!r}",
+              file=sys.stderr)
+
+
 def make_records(n_videos):
     from vidsgg_big_tpu.data.synthetic import make_video
     recs = []
@@ -48,7 +74,7 @@ def make_records(n_videos):
     return recs
 
 
-def bench_ours(recs):
+def bench_ours(recs, extra=None):
     import jax
     from vidsgg_big_tpu.data.types import pack_proposal, stack_batches
     from vidsgg_big_tpu.models import BigC, BigCConfig
@@ -91,6 +117,9 @@ def bench_ours(recs):
         return BATCH * N_TIMED / best_window(window)
 
     v_bf16 = measure(batch)
+    if extra is not None:
+        mfu_fields(extra, "infer", infer, (params, jax.device_put(batch)),
+                   BATCH / v_bf16)
     # opt-in int8 feature storage (4x less feature traffic, int8 MXU first
     # layer); reported separately — the headline number stays bf16
     batch_i8 = stack_batches([
@@ -100,7 +129,7 @@ def bench_ours(recs):
     return v_bf16, v_int8
 
 
-def bench_train(recs):
+def bench_train(recs, extra=None):
     """Full BIG-C train step (fwd+bwd+Hungarian+Adam), exp2 geometry."""
     import jax
     import ml_dtypes
@@ -148,10 +177,12 @@ def bench_train(recs):
         return time.perf_counter() - t0
 
     dt = best_window(window) / n
+    if extra is not None:
+        mfu_fields(extra, "train", step, (state, props, gts, rng), dt)
     return dt * 1000.0, BATCH / dt                          # ms/step, v/s
 
 
-def bench_grounding():
+def bench_grounding(extra=None):
     """Grounding (stage 2) batched inference at the worst-case bucket
     (Q=256 unique triplets x T=512 clips, paper-scale dims)."""
     import jax
@@ -190,10 +221,13 @@ def bench_grounding():
         return time.perf_counter() - t0
 
     dt = best_window(window) / n
+    if extra is not None:
+        mfu_fields(extra, "grounding_infer", infer,
+                   (params, feats, clip_mask, n_clips, qc, temp, qm), dt)
     return dt / b * 1000.0                                  # ms/video
 
 
-def bench_grounding_train():
+def bench_grounding_train(extra=None):
     """Grounding (stage 2) train step at paper scale: B=8 videos, T=512
     clips, up to 64 GT predicates/video, bf16 compute."""
     import jax
@@ -246,10 +280,14 @@ def bench_grounding_train():
         return time.perf_counter() - t0
 
     dt = best_window(window, 2) / n
+    if extra is not None:
+        mfu_fields(extra, "grounding_train", step,
+                   (state, feats, clip_mask, n_clips, gts, video_len, key),
+                   dt)
     return dt * 1000.0, b / dt                              # ms/step, v/s
 
 
-def bench_vidor(feat_dtype=None):
+def bench_vidor(feat_dtype=None, extra=None):
     """BIG-C v7 inference at the VidOR exp4 geometry: N=180 proposals,
     T=512 bucket, RoI(1024)+classeme(300) features, 81/51 vocab, and the
     published 6-enc/4-dec depth (reference experiments/exp4/config_.py:14-15).
@@ -294,10 +332,13 @@ def bench_vidor(feat_dtype=None):
         float(np.asarray(out.scores).sum())
         return time.perf_counter() - t0
 
-    return BATCH * n / best_window(window)
+    thr = BATCH * n / best_window(window)
+    if extra is not None and feat_dtype is None:
+        mfu_fields(extra, "vidor_infer", infer, (params, batch), BATCH / thr)
+    return thr
 
 
-def bench_serving_b32():
+def bench_serving_b32(extra=None):
     """Large-batch serving at exp2 geometry (B=32): the regime where the
     fused Pallas role-attention kernel auto-engages (layers.py:219-222,
     measured 1.3x over XLA from B~24).  This stage makes the kernel's
@@ -334,7 +375,10 @@ def bench_serving_b32():
         float(np.asarray(out.scores).sum())
         return time.perf_counter() - t0
 
-    return b * n / best_window(window, 2)
+    thr = b * n / best_window(window, 2)
+    if extra is not None:
+        mfu_fields(extra, "serving_b32", infer, (params, batch), b / thr)
+    return thr
 
 
 def bench_reference(recs):
@@ -422,15 +466,16 @@ def main():
         file=sys.stderr, flush=True)
     recs = make_records(max(BATCH, N_REF_VIDEOS))
     trace_dir = os.environ.get("VIDSGG_PROFILE_DIR")
+    extra = {}
     stage("BIG-C inference")
     if trace_dir:
         import jax
         with jax.profiler.trace(trace_dir):
-            ours, ours_i8 = bench_ours(recs)
+            ours, ours_i8 = bench_ours(recs, extra)
         print(f"profiler trace written to {trace_dir}", file=sys.stderr)
     else:
-        ours, ours_i8 = bench_ours(recs)
-    extra = {"infer_int8_feats_videos_per_sec": round(ours_i8, 1)}
+        ours, ours_i8 = bench_ours(recs, extra)
+    extra["infer_int8_feats_videos_per_sec"] = round(ours_i8, 1)
 
     def run_stage(name, min_left, fn):
         """Budget-gate a stage; retry once on transient failures (the axon
@@ -452,25 +497,26 @@ def main():
                       file=sys.stderr)
 
     def _train():
-        train_ms, train_vs = bench_train(recs)
+        train_ms, train_vs = bench_train(recs, extra)
         extra["train_step_ms"] = round(train_ms, 2)
         extra["train_videos_per_sec"] = round(train_vs, 1)
 
     def _grounding():
         extra["grounding_infer_ms_per_video_q256_t512"] = round(
-            bench_grounding(), 2)
+            bench_grounding(extra), 2)
 
     def _grounding_train():
-        g_ms, g_vs = bench_grounding_train()
+        g_ms, g_vs = bench_grounding_train(extra)
         extra["grounding_train_step_ms"] = round(g_ms, 2)
         extra["grounding_train_videos_per_sec"] = round(g_vs, 1)
 
     def _vidor():
         extra["infer_vidor_n180_t512_videos_per_sec"] = round(
-            bench_vidor(), 1)
+            bench_vidor(extra=extra), 1)
 
     def _serving():
-        extra["serving_b32_videos_per_sec"] = round(bench_serving_b32(), 1)
+        extra["serving_b32_videos_per_sec"] = round(
+            bench_serving_b32(extra), 1)
 
     # Measure the torch reference immediately after the headline stage: it is
     # CPU-only and cheap (~1 min), and vs_baseline depends on nothing else —
