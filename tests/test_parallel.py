@@ -7,6 +7,7 @@ def test_eight_cpu_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_matches_single_device():
     """Data-parallel train step over an 8-device mesh: runs, finite loss, and
     the result equals the unsharded computation (GSPMD correctness)."""
@@ -51,6 +52,7 @@ def test_sharded_train_step_runs_and_matches_single_device():
                                    rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_grounding_step_matches_single_device():
     """Data-parallel grounding (stage 2) train step over the 8-device mesh
     equals the single-device computation."""
@@ -111,6 +113,82 @@ def test_sharded_grounding_step_matches_single_device():
                                    rtol=1e-3, atol=5e-5)
 
 
+@pytest.mark.slow
+def test_elastic_checkpoint_across_meshes(tmp_path):
+    """Elastic resume: a checkpoint saved under a 4x2 TP mesh restores
+    bit-equal under an 8x1 data mesh, a single device, and a *different*
+    2x4 TP layout — and keeps training under the new mesh.  This is the
+    train CLIs' --mesh resume path (the orbax template's shardings drive
+    placement; checkpoint values are mesh-invariant because save_checkpoint
+    host-gathers)."""
+    import __graft_entry__ as ge
+    from vidsgg_big_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                              replicated)
+    from vidsgg_big_tpu.parallel.sharding import (
+        make_mesh_2d, shard_params, state_shardings)
+    from vidsgg_big_tpu.train.train_state import (
+        make_optimizer, create_train_state, save_checkpoint, load_checkpoint)
+    from vidsgg_big_tpu.train.steps import build_train_step
+
+    model, cfg = ge._flagship(feat_dim=16, dim=16, n_enco=1, n_deco=1,
+                              num_querys=8, heads=2, dim_i3d=4,
+                              num_enti=8, num_pred=6)
+    props, gts = ge._batch(4, n_bucket=8, t_bucket=16, feat_total=20,
+                           num_enti=8, num_pred=6, video_len=40)
+    params = model.init(jax.random.PRNGKey(0), props)
+    tx, _ = make_optimizer(1e-4, 0.2, [100])
+    rng = jax.random.PRNGKey(1)
+
+    # train one step under mesh A = 4x2 (TP): moments become non-trivial
+    mesh_a = make_mesh_2d(4, 2)
+    state = jax.jit(lambda p: create_train_state(p, tx))(
+        shard_params(params, mesh_a))
+    step_a = build_train_step(model, tx, mesh=mesh_a, donate=False,
+                              state_shardings=state_shardings(state))
+    state, _ = step_a(state, shard_batch(props, mesh_a),
+                      shard_batch(gts, mesh_a), rng)
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, jax.device_get(state), int(state.step), epoch=1)
+    ref = [np.asarray(x) for x in
+           jax.tree_util.tree_leaves(jax.device_get(state))]
+
+    def assert_equal(restored):
+        got = [np.asarray(x) for x in
+               jax.tree_util.tree_leaves(jax.device_get(restored))]
+        assert len(got) == len(ref)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
+
+    # mesh B = 8x1 data mesh, replicated params
+    mesh_b = make_mesh(8)
+    tmpl_b = jax.device_put(create_train_state(params, tx),
+                            replicated(mesh_b))
+    restored_b, step_no = load_checkpoint(ckpt, tmpl_b)
+    assert step_no == int(state.step)
+    assert_equal(restored_b)
+
+    # single device (no mesh)
+    restored_1, _ = load_checkpoint(ckpt, create_train_state(params, tx))
+    assert_equal(restored_1)
+
+    # mesh C = 2x4: a *different* TP layout; restored shards land in it and
+    # the state keeps training there
+    mesh_c = make_mesh_2d(2, 4)
+    tmpl_c = jax.jit(lambda p: create_train_state(p, tx))(
+        shard_params(params, mesh_c))
+    restored_c, _ = load_checkpoint(ckpt, tmpl_c)
+    assert_equal(restored_c)
+    n_sharded = sum(1 for l in jax.tree_util.tree_leaves(restored_c.params)
+                    if any(s is not None for s in l.sharding.spec))
+    assert n_sharded >= 8
+    step_c = build_train_step(model, tx, mesh=mesh_c, donate=False,
+                              state_shardings=state_shardings(restored_c))
+    restored_c, m_c = step_c(restored_c, shard_batch(props, mesh_c),
+                             shard_batch(gts, mesh_c), rng)
+    assert np.isfinite(float(m_c["total"]))
+    assert int(restored_c.step) == step_no + 1
+
+
 def test_milestone_schedule():
     from vidsgg_big_tpu.train.train_state import milestone_schedule
     s = milestone_schedule(1e-4, 0.2, [10, 20])
@@ -150,6 +228,7 @@ def test_sharded_inference_matches_single_device():
             np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_step_matches_replicated():
     """2-D (data, model) mesh with megatron-style TP param sharding: the
     train step equals the replicated data-parallel result, and the TP specs

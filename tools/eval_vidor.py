@@ -98,15 +98,27 @@ def evaluate_cls_stage(args, logger, all_cfgs):
         params = _load_params(model, first[2], args.ckpt_path, bias)
         infer = build_infer_step(model, topk=topk)
 
-    mesh = None
-    if args.data_parallel:
-        from vidsgg_big_tpu.parallel.mesh import (make_mesh, replicated,
-                                                  shard_batch)
+    mesh, tp, p_sh = None, 1, None
+    if getattr(args, "mesh", None) and not args.use_baseline:
+        from vidsgg_big_tpu.parallel.sharding import mesh_from_spec
+        mesh, tp = mesh_from_spec(args.mesh)
+    elif args.data_parallel or getattr(args, "mesh", None):
+        from vidsgg_big_tpu.parallel.mesh import make_mesh
         mesh = make_mesh()
-        assert args.batch_size % len(mesh.devices.ravel()) == 0, \
-            "batch_size must be divisible by the device count"
-        params = jax.device_put(params, replicated(mesh))
-        logger.info(f"data-parallel stage-A inference over {mesh}")
+    if mesh is not None:
+        from vidsgg_big_tpu.parallel.mesh import replicated, shard_batch
+        assert args.batch_size % mesh.shape["data"] == 0, \
+            "batch_size must be divisible by the mesh's data axis"
+        if tp > 1:
+            from vidsgg_big_tpu.parallel.sharding import (shard_params,
+                                                          state_shardings)
+            params = shard_params(params, mesh)
+            p_sh = state_shardings(params)
+            infer = build_infer_step(model, topk=topk, mesh=mesh,
+                                     param_shardings=p_sh)
+        else:
+            params = jax.device_put(params, replicated(mesh))
+        logger.info(f"sharded stage-A inference over {mesh} (tp={tp})")
     infer_results = {}
     # light rows kept for stage B / GT eval: features dropped (they dominate
     # a record's footprint ~300:1; boxes/durations/GT graphs are small)
@@ -344,6 +356,10 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--gt_json", type=str, default=None)
     parser.add_argument("--data_parallel", action="store_true")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="explicit device mesh 'D' (data parallel) or "
+                             "'D,M' (2-D data x model; TP params over the "
+                             "model axis — BIG-C stage A only)")
     parser.add_argument("--save_infer_result", action="store_true")
     parser.add_argument("--save_json_results", action="store_true")
     parser.add_argument("--save_hit_infos", action="store_true")

@@ -133,15 +133,27 @@ def inference_then_eval(args):
         params = state.params
         logger.info(f"loaded checkpoint {args.ckpt_path} (step {step})")
 
-    mesh = None
-    if args.data_parallel:
-        from vidsgg_big_tpu.parallel.mesh import make_mesh, replicated
+    mesh, tp, p_sh = None, 1, None
+    if getattr(args, "mesh", None):
+        from vidsgg_big_tpu.parallel.sharding import mesh_from_spec
+        mesh, tp = mesh_from_spec(args.mesh)
+    elif args.data_parallel:
+        from vidsgg_big_tpu.parallel.mesh import make_mesh
         mesh = make_mesh()
-        assert args.batch_size % len(mesh.devices.ravel()) == 0, \
-            "batch_size must be divisible by the device count"
-        params = jax.device_put(params, replicated(mesh))
-        logger.info(f"data-parallel inference over {mesh}")
-    infer = build_infer_step(model, topk=topk, mesh=mesh)
+    if mesh is not None:
+        from vidsgg_big_tpu.parallel.mesh import replicated
+        assert args.batch_size % mesh.shape["data"] == 0, \
+            "batch_size must be divisible by the mesh's data axis"
+        if tp > 1:
+            from vidsgg_big_tpu.parallel.sharding import (shard_params,
+                                                          state_shardings)
+            params = shard_params(params, mesh)
+            p_sh = state_shardings(params)
+        else:
+            params = jax.device_put(params, replicated(mesh))
+        logger.info(f"sharded inference over {mesh} (tp={tp})")
+    infer = build_infer_step(model, topk=topk, mesh=mesh,
+                             param_shardings=p_sh)
     convertor = EvalFmtCvtor("vidvrd")
     predict_relations = {}
     infer_results = {}
@@ -222,6 +234,10 @@ if __name__ == "__main__":
     parser.add_argument("--save_infer_result", action="store_true")
     parser.add_argument("--save_json_results", action="store_true")
     parser.add_argument("--data_parallel", action="store_true")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="explicit device mesh 'D' (data parallel) or "
+                             "'D,M' (2-D data x model; tensor-parallel "
+                             "params over the model axis)")
     parser.add_argument("--feat_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16", "int8"],
                         help="feature storage dtype (int8: quantized serving path)")

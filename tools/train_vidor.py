@@ -264,7 +264,21 @@ def train_grounding_stage(args):
                             f"checkpoints_grd_{args.save_tag}")
     state, start_epoch = _maybe_resume(args, logger, state, ckpt_dir,
                                        iters_per_epoch)
-    step = build_grounding_train_step(model, tx, donate=False)
+    # grounding params are small (dim_hidden=128): no TP rules — an
+    # explicit --mesh D,M still runs, batch-sharded over its data axis
+    # with replicated params
+    mesh = None
+    if getattr(args, "mesh", None):
+        from vidsgg_big_tpu.parallel.sharding import mesh_from_spec
+        mesh, _ = mesh_from_spec(args.mesh)
+        logger.info(f"grounding training over mesh {mesh}")
+    elif args.data_parallel:
+        mesh = make_mesh()
+    if mesh is not None:
+        assert batch_size % mesh.shape["data"] == 0, \
+            "batch_size must be divisible by the mesh's data axis"
+        state = jax.device_put(state, replicated(mesh))
+    step = build_grounding_train_step(model, tx, mesh=mesh, donate=False)
     rng = jax.random.PRNGKey(args.seed + 1)
     it = int(state.step)
     from vidsgg_big_tpu.data.prefetch import prefetch
@@ -313,20 +327,39 @@ def _generic_train(args, logger, writer, experiment_dir, model, bias,
     feat_dim = first_feat_dim(row_of(item)[0] for item in dataset)
     spec = BucketSpec(feat_dim=feat_dim,
                       p_bucket=model_config.get("max_preds", 128))
-    mesh = make_mesh() if args.data_parallel else None
+    # --mesh D[,M]: 2-D (data, model) mesh with TP params over the model
+    # axis; --data_parallel: 1-D data mesh, params replicated
+    mesh, tp, st_sh = None, 1, None
+    if getattr(args, "mesh", None):
+        from vidsgg_big_tpu.parallel.sharding import mesh_from_spec
+        mesh, tp = mesh_from_spec(args.mesh)
+        logger.info(f"training over mesh {mesh} (tp={tp})")
+    elif args.data_parallel:
+        mesh = make_mesh()
+    if mesh is not None:
+        assert batch_size % mesh.shape["data"] == 0, \
+            "batch_size must be divisible by the mesh's data axis"
     first = next(iter(bucketed_batches([peek], spec, 1)))
     params = model.init(jax.random.PRNGKey(args.seed), first[2])
     params = model.load_tables(params, bias)
-    state = create_train_state(params, tx)
+    if tp > 1:
+        from vidsgg_big_tpu.parallel.sharding import (shard_params,
+                                                      state_shardings)
+        params = shard_params(params, mesh)
+        state = jax.jit(lambda p: create_train_state(p, tx))(params)
+        st_sh = state_shardings(state)
+    else:
+        state = create_train_state(params, tx)
     ckpt_dir = os.path.join(experiment_dir,
                             f"checkpoints_cls_{args.save_tag}")
     state, start_epoch = _maybe_resume(args, logger, state, ckpt_dir,
                                        iters_per_epoch)
-    if mesh is not None:
+    if mesh is not None and tp == 1:
         state = jax.device_put(state, replicated(mesh))
     # t_abs=4096: VidOR trains on videos up to 2700 frames; the vIoU
     # grid must cover the video-length bound (losses.bigc_train_loss)
-    step_fn = build_train_step(model, tx, mesh=mesh, t_abs=4096)
+    step_fn = build_train_step(model, tx, mesh=mesh, state_shardings=st_sh,
+                               t_abs=4096)
     rng = jax.random.PRNGKey(args.seed + 1)
     it = int(state.step)
     for epoch in range(start_epoch, total_epoch):
@@ -368,6 +401,11 @@ if __name__ == "__main__":
     parser.add_argument("--ckpt_every", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_parallel", action="store_true")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="explicit device mesh 'D' (data parallel) or "
+                             "'D,M' (2-D data x model; TP params over the "
+                             "model axis for BIG-C, data axis only for the "
+                             "grounding stage)")
     parser.add_argument("--tables_path", type=str, default=None,
                         help="tables.npz from tools/convert_checkpoint.py")
     parser.add_argument("--synthetic", type=int, default=0)

@@ -83,14 +83,35 @@ def train(args):
     spec = BucketSpec(feat_dim=feat_dim, g_bucket=32,
                       p_bucket=model_config.get("max_preds", 128))
 
-    mesh = make_mesh() if args.data_parallel else None
+    # --mesh D[,M]: explicit 2-D (data, model) mesh with megatron-style
+    # tensor-parallel parameters over the model axis (parallel/sharding.py);
+    # --data_parallel: 1-D data mesh over every device, params replicated
+    mesh, tp, st_sh = None, 1, None
+    if getattr(args, "mesh", None):
+        from vidsgg_big_tpu.parallel.sharding import mesh_from_spec
+        mesh, tp = mesh_from_spec(args.mesh)
+        logger.info(f"training over mesh {mesh} (tp={tp})")
+    elif args.data_parallel:
+        mesh = make_mesh()
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        assert batch_size % n_data == 0, \
+            f"batch_size {batch_size} not divisible by data axis {n_data}"
     # init params from the first bucket batch
     first = next(iter(bucketed_batches([peek], spec, 1)))
     params = model.init(jax.random.PRNGKey(args.seed), first[2])
     params = model.load_tables(params, bias)
-    state = create_train_state(params, tx)
-    if mesh is not None:
-        state = jax.device_put(state, replicated(mesh))
+    if tp > 1:
+        from vidsgg_big_tpu.parallel.sharding import (shard_params,
+                                                      state_shardings)
+        params = shard_params(params, mesh)
+        # jit'ing init propagates the TP param shardings into Adam moments
+        state = jax.jit(lambda p: create_train_state(p, tx))(params)
+        st_sh = state_shardings(state)
+    else:
+        state = create_train_state(params, tx)
+        if mesh is not None:
+            state = jax.device_put(state, replicated(mesh))
 
     start_epoch = 0
     ckpt_dir = os.path.join(experiment_dir, f"checkpoints_{args.save_tag}")
@@ -108,7 +129,8 @@ def train(args):
 
     # t_abs=4096: ImageNet-VID snippets can run past 1024 frames; the
     # vIoU grid must cover the video-length bound (losses.bigc_train_loss)
-    step_fn = build_train_step(model, tx, mesh=mesh, t_abs=4096)
+    step_fn = build_train_step(model, tx, mesh=mesh, state_shardings=st_sh,
+                               t_abs=4096)
     rng = jax.random.PRNGKey(args.seed + 1)
     it = int(state.step)
     logger.info("start training...")
@@ -162,6 +184,10 @@ if __name__ == "__main__":
     parser.add_argument("--ckpt_every", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_parallel", action="store_true")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="explicit device mesh 'D' (data parallel) or "
+                             "'D,M' (2-D data x model; tensor-parallel "
+                             "params over the model axis)")
     parser.add_argument("--tables_path", type=str, default=None,
                         help="tables.npz from tools/convert_checkpoint.py")
     parser.add_argument("--synthetic", type=int, default=0)

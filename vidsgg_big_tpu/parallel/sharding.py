@@ -31,6 +31,18 @@ _ROW = {"linear2", "fc2_1"}          # kernel (F, D): shard F (input axis)
 _QKV = {"q", "k", "v"}               # DenseGeneral (D, h, hd): shard h
 
 
+def mesh_from_spec(spec: str):
+    """CLI ``--mesh`` parser: ``"8"`` -> 1-D data mesh over 8 devices;
+    ``"4,2"`` -> 2-D (data, model) mesh (megatron-style TP over the model
+    axis).  Returns (mesh, n_model)."""
+    parts = [int(p) for p in str(spec).split(",") if p.strip()]
+    assert 1 <= len(parts) <= 2, f"--mesh wants 'D' or 'D,M', got {spec!r}"
+    if len(parts) == 1 or parts[1] == 1:
+        from .mesh import make_mesh
+        return make_mesh(parts[0]), 1
+    return make_mesh_2d(parts[0], parts[1]), parts[1]
+
+
 def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
     devices = jax.devices()
     n = n_data * n_model
@@ -79,12 +91,32 @@ def param_partition_specs(params, axis: str = "model"):
     return flax.traverse_util.unflatten_dict(specs)
 
 
+def _fits(shape, spec, mesh: Mesh) -> bool:
+    """True if every sharded dim of ``shape`` divides by its mesh extent."""
+    for i, name in enumerate(spec):
+        if name is None:
+            continue
+        names = name if isinstance(name, tuple) else (name,)
+        k = 1
+        for nm in names:
+            k *= mesh.shape[nm]
+        if shape[i] % k:
+            return False
+    return True
+
+
 def shard_params(params, mesh: Mesh, axis: str = "model"):
-    """device_put the params with the TP specs on ``mesh``."""
+    """device_put the params with the TP specs on ``mesh``.
+
+    Dims the mesh's model extent does not divide fall back to replication
+    (e.g. a 2-wide geometry kernel on an 8-way model axis): GSPMD requires
+    divisibility, and replicating a small leaf costs nothing."""
     specs = param_partition_specs(params, axis)
-    return jax.device_put(params, jax.tree_util.tree_map(
-        lambda s: NamedSharding(mesh, s), specs,
-        is_leaf=lambda x: isinstance(x, P)))
+    sh = jax.tree_util.tree_map(
+        lambda v, s: NamedSharding(mesh, s if _fits(v.shape, s, mesh)
+                                   else P()),
+        params, specs)
+    return jax.device_put(params, sh)
 
 
 def state_shardings(state):

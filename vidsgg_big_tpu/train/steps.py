@@ -64,8 +64,14 @@ def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))
 
 
-def build_infer_step(model: BigC, topk: int, mesh=None):
-    """Returns infer(params, props) -> Triplets (batched)."""
+def build_infer_step(model: BigC, topk: int, mesh=None,
+                     param_shardings=None):
+    """Returns infer(params, props) -> Triplets (batched).
+
+    ``param_shardings``: pass the concrete shardings of a TP-sharded params
+    tree (``parallel.sharding.state_shardings(params)``) to serve with
+    tensor-parallel parameters on a 2-D (data, model) mesh; default
+    replicates the parameters."""
     cfg = model.cfg
 
     def infer(params, props):
@@ -81,8 +87,9 @@ def build_infer_step(model: BigC, topk: int, mesh=None):
     kwargs = {}
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        kwargs = dict(in_shardings=(NamedSharding(mesh, P()),
-                                    NamedSharding(mesh, P("data"))),
+        ps = param_shardings if param_shardings is not None \
+            else NamedSharding(mesh, P())
+        kwargs = dict(in_shardings=(ps, NamedSharding(mesh, P("data"))),
                       out_shardings=NamedSharding(mesh, P("data")))
     return jax.jit(infer, **kwargs)
 
