@@ -136,11 +136,12 @@ class VidVRDDataset:
             allow_pickle=True)
         # uniform (R, 12+D) float arrays take the vectorized native-grouped
         # fast path (identical output, ~13x faster); object arrays (mixed
-        # row lengths) fall back to the row-loop parsers
+        # row lengths) fall back to the row-loop parsers — except mega,
+        # whose fast path bulk-converts mixed-length rows itself
         uniform = (track_res.ndim == 2 and track_res.dtype != object and
                    track_res.shape[1] == 12 + self.dim_boxfeature)
         if self.fmt == "mega":
-            parsed = parse.parse_tracklets_mega(
+            parsed = parse.parse_tracklets_mega_fast(
                 track_res, self.dim_boxfeature, self.min_frames_th)
         elif self.fmt == "pku":
             fn = (parse.parse_tracklets_pku_fast if uniform
@@ -257,7 +258,7 @@ class VidORDataset:
                             allow_pickle=True)
         classeme = np.load(os.path.join(self.classeme_dir,
                                         video_name + "_clsme.npy"))
-        parsed = parse.parse_tracklets_vidor(
+        parsed = parse.parse_tracklets_vidor_fast(
             track_res, classeme, self.dim_boxfeature, self.min_frames_th)
         group, vid = video_name.split("_")
         if self.video_ann_dir is not None:

@@ -38,7 +38,11 @@ def linear_interpolation(vectors: np.ndarray, frame_ids) -> np.ndarray:
         right_vector = consec_vectors[i][0]
         left = consec_frames[i - 1][-1]
         right = consec_frames[i][0]
-        inter_len = right - left - 1
+        # int(): mega/vidor rows carry *float* frame ids (reference
+        # dataloader_vidvrd.py:251 keeps them unconverted); the reference's
+        # numpy era accepted a float num in linspace by truncation, modern
+        # numpy raises — same values either way for integral frame ids
+        inter_len = int(right - left - 1)
         inter = np.linspace(left_vector, right_vector, num=inter_len + 2,
                             axis=0)[1:-1]
         result.append(consec_vectors[i - 1])

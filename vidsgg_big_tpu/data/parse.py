@@ -280,6 +280,138 @@ def parse_gt_annotation(video_name: str, video_anno: dict,
     return rec
 
 
+def _bulk_rows(track_res, picks):
+    """Bulk-convert a subset of ragged rows into one float64 matrix (the
+    single O(R) python pass an object-dtype .npy costs; everything after is
+    whole-array numpy)."""
+    if picks.size == 0:
+        return np.zeros((0, 0), np.float64)
+    return np.asarray([list(track_res[i]) for i in picks], np.float64)
+
+
+def _fast_tail(rows, bboxes5, feats, vote_mask, off, tids, min_frames_th):
+    """Shared per-trajectory tail of the fast parsers: majority category
+    (over rows where ``vote_mask``), short->background, gap interpolation.
+    Matches _finalize_trajs + _collect; trajectories come out tid-sorted
+    (real tracker .npy files are (tid, fid)-sorted already, see
+    tests/test_native.py order note)."""
+    cat_ids, out_boxes, out_feats, durations = [], [], [], []
+    for g in range(len(tids)):
+        s, e = off[g], off[g + 1]
+        votes = rows[s:e, 7][vote_mask[s:e]].astype(np.int64)
+        if votes.size == 0 or (e - s) < min_frames_th:
+            continue
+        cat = int(np.argmax(np.bincount(votes)))
+        if cat == 0:
+            continue
+        frame_ids = rows[s:e, 0].astype(np.int64)
+        b = bboxes5[s:e]
+        f = feats[s:e]
+        if frame_ids[-1] - frame_ids[0] + 1 != e - s:
+            b = linear_interpolation(b, frame_ids)
+            f = linear_interpolation(f, frame_ids)
+        cat_ids.append(cat)
+        out_boxes.append(b)
+        out_feats.append(f)
+        durations.append((int(frame_ids[0]), int(frame_ids[-1]) + 1))
+    return cat_ids, out_boxes, out_feats, durations
+
+
+def parse_tracklets_mega_fast(track_res, dim_boxfeature: int,
+                              min_frames_th: int):
+    """Vectorized fast path for mega-format rows (reference
+    dataloader_vidvrd.py:236-325): len-6 background rows keep the tracklet
+    box with zero conf/features; len-12+D rows average tracklet and detector
+    boxes and vote on the category.  Behavior parity with
+    :func:`parse_tracklets_mega` on (tid, fid)-sorted inputs; handles both
+    uniform (R, 12+D) float arrays and object arrays of mixed row lengths.
+    """
+    from . import native
+
+    c = 12 + dim_boxfeature
+    if isinstance(track_res, np.ndarray) and track_res.ndim == 2 and \
+            track_res.dtype != object:
+        assert track_res.shape[1] in (6, c), track_res.shape
+        if track_res.shape[1] == 6:          # all-background file
+            rows = np.zeros((track_res.shape[0], c), np.float64)
+            rows[:, :6] = track_res
+            is_full = np.zeros(rows.shape[0], bool)
+        else:
+            rows = np.asarray(track_res, np.float64)
+            is_full = np.ones(rows.shape[0], bool)
+    else:
+        lens = np.fromiter((len(r) for r in track_res), np.int64,
+                           len(track_res))
+        assert np.isin(lens, (6, c)).all(), set(lens.tolist())
+        rows = np.zeros((len(track_res), c), np.float64)
+        i6 = np.flatnonzero(lens == 6)
+        ifull = np.flatnonzero(lens == c)
+        if i6.size:
+            rows[i6, :6] = _bulk_rows(track_res, i6)
+        if ifull.size:
+            rows[ifull] = _bulk_rows(track_res, ifull)
+        is_full = lens == c
+    if rows.shape[0] == 0:
+        return [], [], [], []
+    order, off, tids = native.group_tracklet_rows(rows)
+    rows = rows[order]
+    is_full = is_full[order]
+
+    tl = rows[:, 2:6].copy()
+    tl[:, 2] += tl[:, 0]
+    tl[:, 3] += tl[:, 1]                                  # tracklet xyxy
+    det = rows[:, 8:12].copy()
+    det[:, 2] += det[:, 0]
+    det[:, 3] += det[:, 1]                                # detector xyxy
+    boxes = np.where(is_full[:, None], (tl + det) / 2, tl)
+    conf = np.where(is_full, rows[:, 6], 0.0)
+    bboxes5 = np.concatenate([boxes, conf[:, None]], axis=1)
+    feats = np.where(is_full[:, None], rows[:, 12:], 0.0)
+    return _fast_tail(rows, bboxes5, feats, is_full, off, tids,
+                      min_frames_th)
+
+
+def parse_tracklets_vidor_fast(track_res, classeme: Optional[np.ndarray],
+                               dim_boxfeature: int, min_frames_th: int):
+    """Vectorized fast path for vidor-format rows (reference
+    dataloader_vidor_v3.py:394-484): len-6 rows are skipped entirely, the
+    per-frame box is the tracklet box, RoI features are concatenated with
+    the per-ORIGINAL-row classeme vectors.  Behavior parity with
+    :func:`parse_tracklets_vidor` on (tid, fid)-sorted inputs."""
+    from . import native
+
+    c = 12 + dim_boxfeature
+    if isinstance(track_res, np.ndarray) and track_res.ndim == 2 and \
+            track_res.dtype != object:
+        assert track_res.shape[1] in (6, c), track_res.shape
+        if track_res.shape[1] == 6:
+            return [], [], [], []
+        rows = np.asarray(track_res, np.float64)
+        orig_idx = np.arange(rows.shape[0])
+    else:
+        lens = np.fromiter((len(r) for r in track_res), np.int64,
+                           len(track_res))
+        assert np.isin(lens, (6, c)).all(), set(lens.tolist())
+        orig_idx = np.flatnonzero(lens == c)
+        rows = _bulk_rows(track_res, orig_idx)
+    if rows.shape[0] == 0:
+        return [], [], [], []
+    order, off, tids = native.group_tracklet_rows(rows)
+    rows = rows[order]
+
+    tl = rows[:, 2:6].copy()
+    tl[:, 2] += tl[:, 0]
+    tl[:, 3] += tl[:, 1]
+    bboxes5 = np.concatenate([tl, rows[:, 6:7]], axis=1)
+    feats = rows[:, 12:]
+    if classeme is not None:
+        cl = np.asarray(classeme, np.float64)[orig_idx][order]
+        feats = np.concatenate([feats, cl], axis=1)
+    all_rows = np.ones(rows.shape[0], bool)
+    return _fast_tail(rows, bboxes5, feats, all_rows, off, tids,
+                      min_frames_th)
+
+
 def parse_tracklets_pku_fast(track_res: np.ndarray, dim_boxfeature: int,
                              min_frames_th: int,
                              i3d_features: Optional[np.ndarray] = None,
