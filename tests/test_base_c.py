@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -26,6 +27,7 @@ def _pack(n=2, n_bucket=10, t_bucket=64):
     return vids, props, gts
 
 
+@pytest.mark.slow
 def test_basec_forward_and_loss():
     vids, props, gts = _pack()
     model = BaseC(CFG)

@@ -13,6 +13,8 @@ from vidsgg_big_tpu.train.steps import build_train_step, build_infer_step
 from vidsgg_big_tpu.evaluation.convert import EvalFmtCvtor
 from vidsgg_big_tpu.evaluation.metrics import evaluate
 
+pytestmark = pytest.mark.slow  # smoke tier: -m 'not slow' (see pytest.ini)
+
 
 @pytest.mark.slow
 def test_bigc_overfit_reaches_high_map():

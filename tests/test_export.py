@@ -11,6 +11,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # smoke tier: -m 'not slow' (see pytest.ini)
+
 TOOLS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tools")
 

@@ -8,6 +8,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from golden_utils import golden_outputs
 
@@ -15,6 +16,7 @@ GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "golden", "flagship_triplets.json")
 
 
+@pytest.mark.slow
 def test_flagship_triplets_match_golden():
     with open(GOLDEN) as f:
         want = json.load(f)

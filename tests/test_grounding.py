@@ -125,6 +125,7 @@ def test_prepare_grounding_gt_groups():
             assert neg[b, p, 2] == cats[b, p, 2]
 
 
+@pytest.mark.slow
 def test_grounding_forward_and_loss():
     model = GroundingModel(CFG)
     video_feats, clip_mask, n_clips, gts, video_len = _toy_batch()
@@ -149,6 +150,7 @@ def test_grounding_forward_and_loss():
     assert np.isfinite(gmax) and gmax > 0
 
 
+@pytest.mark.slow
 def test_grounding_remainder_padding_masked():
     """Epoch-remainder batches pad by repeating the last video with its GT
     masks zeroed (tools/train_vidor.py make_batch); the repeat must
@@ -435,6 +437,7 @@ def test_grounding_loss_parity(ref_debug_cls):
         rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_grounding_bf16_compute_close_to_f32():
     """compute_dtype='bfloat16' (bandwidth relief for the conv/attention
     stacks): same params, outputs close to the f32 path."""
@@ -476,6 +479,7 @@ def test_grounding_bf16_compute_close_to_f32():
     assert (err > 0.2).mean() < 0.01, (err > 0.2).mean()
 
 
+@pytest.mark.slow
 def test_grounding_stable_head_init_defuses_saturation():
     """Opt-in ``stable_head_init`` (beyond the reference): at the reference's
     default init the head sigmoids are saturated — measured mean |logit| ≈ 34

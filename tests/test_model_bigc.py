@@ -110,6 +110,7 @@ def test_train_loss_and_grads(model_and_params):
     assert max(leaf_norms) > 0
 
 
+@pytest.mark.slow
 def test_remainder_padding_no_loss_effect(model_and_params):
     """A bucket flushed with repeat-padding must produce the identical
     gradient as the unpadded batch (repeats are masked out of the loss)."""
@@ -189,6 +190,7 @@ def test_construct_triplets_matches_reference_logic():
         np.testing.assert_allclose(got[k], expect[k], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_int8_feature_storage_close_to_f32():
     """int8 feature storage (opt-in serving path): forward logits stay close
     to the f32 reference and the param tree is unchanged; training-mode apply

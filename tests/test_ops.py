@@ -204,6 +204,7 @@ def test_hungarian_more_gts_than_queries():
     assert out[8] == -1
 
 
+@pytest.mark.slow
 def test_hungarian_many_random_instances_optimal_cost():
     from scipy.optimize import linear_sum_assignment
     rng = np.random.default_rng(17)

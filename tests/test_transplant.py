@@ -19,6 +19,8 @@ from vidsgg_big_tpu.models import BigC, BigCConfig, construct_triplets
 from vidsgg_big_tpu.models.transplant import bigc_params_from_torch
 from vidsgg_big_tpu.train.losses import bigc_train_loss
 
+pytestmark = pytest.mark.slow  # smoke tier: -m 'not slow' (see pytest.ini)
+
 NUM_ENTI, NUM_PRED = 9, 11
 T = 64                      # video length == stretch target on both sides
 N_BUCKET = 12
