@@ -158,7 +158,7 @@ def test_resume_epoch_sidecar(tmp_path, tools_path):
     import optax
     from vidsgg_big_tpu.train.train_state import (
         create_train_state, save_checkpoint, load_checkpoint_epoch)
-    import train_vidor
+    from common import maybe_resume
 
     params = {"w": jnp.zeros((3,))}
     tx = optax.sgd(1e-2)
@@ -170,16 +170,78 @@ def test_resume_epoch_sidecar(tmp_path, tools_path):
     args = argparse.Namespace(from_checkpoint=True, ckpt_path=ckpt)
     template = create_train_state({"w": jnp.zeros((3,))}, tx)
     # iters_per_epoch=6 would put step 37 in "epoch 6"; the sidecar says 5
-    restored, start_epoch = train_vidor._maybe_resume(
+    restored, start_epoch, start_batch = maybe_resume(
         args, logging.getLogger("t"), template, ckpt, iters_per_epoch=6)
-    assert start_epoch == 5
+    assert (start_epoch, start_batch) == (5, 0)
     assert int(restored.step) == 37
+
+    # a graceful mid-epoch stop records (epoch, batch_in_epoch)
+    ckpt3 = str(tmp_path / "ckpt3")
+    save_checkpoint(ckpt3, state, 37, epoch=5, batch_in_epoch=4)
+    _, e3, b3 = maybe_resume(
+        argparse.Namespace(from_checkpoint=True, ckpt_path=ckpt3),
+        logging.getLogger("t"), template, ckpt3, iters_per_epoch=6)
+    assert (e3, b3) == (5, 4)
 
     # pre-sidecar checkpoint: fall back to the division
     ckpt2 = str(tmp_path / "ckpt2")
     save_checkpoint(ckpt2, state, 37)
     assert load_checkpoint_epoch(ckpt2, 37) is None
-    _, start_epoch2 = train_vidor._maybe_resume(
-        args.__class__(from_checkpoint=True, ckpt_path=ckpt2),
+    _, start_epoch2, _ = maybe_resume(
+        argparse.Namespace(from_checkpoint=True, ckpt_path=ckpt2),
         logging.getLogger("t"), template, ckpt2, iters_per_epoch=6)
     assert start_epoch2 == 6
+
+
+def test_train_vidor_midepoch_stop_resume_bitequal(tmp_path_factory,
+                                                   tools_path):
+    """Graceful mid-epoch stop + resume through the real cls-stage CLI is
+    BIT-EQUAL to an uninterrupted run: same final params, same per-step
+    ``loss/total`` journal (train/loop.py fast-forwards the deterministic
+    epoch stream and derives dropout keys by fold_in(global step)).  This is
+    the CPU twin of the on-chip kill rehearsal (scripts/soak_train.py)."""
+    import jax
+    import numpy as np
+
+    tmp = tmp_path_factory.mktemp("resume_mid")
+    cfg_path = tmp / "config_.py"
+    cfg_path.write_text(CONFIG)
+    root = str(tmp / "synth")
+    import train_vidor
+
+    def journal(outdir):
+        import json
+        path = os.path.join(outdir, "logfile", "metrics.jsonl")
+        out = {}
+        with open(path) as f:
+            for line in f:
+                r = json.loads(line)
+                if r["tag"] == "loss/total":
+                    out[r["step"]] = r["value"]
+        return out
+
+    # straight: 2 epochs x 2 iters = 4 steps
+    out_a = str(tmp / "a")
+    state_a = train_vidor.train_cls_stage(
+        _args(str(cfg_path), root, epochs=2, output_dir=out_a))
+    assert int(state_a.step) == 4
+
+    # stopped after 3 batches (mid-epoch 1), then resumed
+    out_b = str(tmp / "b")
+    state_b = train_vidor.train_cls_stage(
+        _args(str(cfg_path), root, epochs=2, output_dir=out_b,
+              stop_after_batches=3))
+    assert int(state_b.step) == 3
+    state_b2 = train_vidor.train_cls_stage(
+        _args(str(cfg_path), root, epochs=2, output_dir=out_b,
+              from_checkpoint=True))
+    assert int(state_b2.step) == 4
+
+    pa = jax.device_get(state_a.params)
+    pb = jax.device_get(state_b2.params)
+    for ka, va in zip(jax.tree_util.tree_leaves(pa),
+                      jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(ka), np.asarray(va))
+    ja, jb = journal(out_a), journal(out_b)
+    assert set(ja) == set(jb) == {1, 2, 3, 4}
+    assert ja == jb

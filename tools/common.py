@@ -113,3 +113,25 @@ def first_feat_dim(prop_iter):
         if prop.num_proposals:
             return prop.features[0].shape[1]
     raise ValueError("every video in the split has zero proposals")
+
+
+def maybe_resume(args, logger, state, default_ckpt_dir, iters_per_epoch):
+    """Resume from a checkpoint (reference resumes in every mode, reference
+    tools/train_vidvrd.py:128-147, tools/train_vidor.py:281-282,430-431,
+    560-561).  Returns ``(state, start_epoch, start_batch)``; a non-zero
+    ``start_batch`` marks a graceful mid-epoch stop whose epoch stream the
+    loop fast-forwards (train/loop.py)."""
+    if not args.from_checkpoint:
+        return state, 0, 0
+    from vidsgg_big_tpu.train.train_state import (load_checkpoint,
+                                                  load_checkpoint_position)
+    path = args.ckpt_path or default_ckpt_dir
+    state, step = load_checkpoint(path, state)
+    # the sidecar epoch is authoritative: streaming bucketed epochs emit
+    # more steps than len(dataset)//batch_size (partial-bucket flushes),
+    # so dividing over-counts and would silently skip epochs on resume
+    epoch, start_batch = load_checkpoint_position(path, step)
+    start_epoch = epoch if epoch is not None else step // iters_per_epoch
+    logger.info(f"resumed from {path} at step {step} (epoch {start_epoch}"
+                + (f", batch {start_batch}" if start_batch else "") + ")")
+    return state, start_epoch, start_batch

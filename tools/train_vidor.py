@@ -3,13 +3,14 @@ grounding stage (capability-parity with reference tools/train_vidor.py:175-706,
 flags --train_baseline / --train_grounding select the mode as in the
 reference CLI)."""
 import argparse
+import itertools
 import os
-import time
 
 import numpy as np
 import jax
 
-from common import make_dataset, load_tables, load_side_tables, first_feat_dim
+from common import (make_dataset, load_tables, load_side_tables,
+                    first_feat_dim, maybe_resume)
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger, MetricWriter
 from vidsgg_big_tpu.data.bucketing import (BucketSpec, bucketed_batches,
@@ -21,30 +22,11 @@ from vidsgg_big_tpu.models.base_c import BaseC, BaseCConfig, basec_train_loss
 from vidsgg_big_tpu.models.grounding import GroundingConfig, GroundingModel
 from vidsgg_big_tpu.parallel.mesh import make_mesh, shard_batch, replicated
 from vidsgg_big_tpu.train.train_state import (
-    make_optimizer, create_train_state, save_checkpoint, load_checkpoint)
+    make_optimizer, create_train_state)
 from vidsgg_big_tpu.train.steps import build_train_step
 from vidsgg_big_tpu.train.grounding_steps import build_grounding_train_step
+from vidsgg_big_tpu.train.loop import run_epochs, install_stop_handler
 from vidsgg_big_tpu.data.types import pack_gt, stack_batches
-
-
-def _maybe_resume(args, logger, state, default_ckpt_dir, iters_per_epoch):
-    """Resume from a checkpoint in any mode (reference resumes in all three:
-    tools/train_vidor.py:281-282,430-431,560-561).  Fast-forwards the epoch
-    counter like the reference; the LR schedule resumes via the restored
-    optimizer step."""
-    start_epoch = 0
-    if args.from_checkpoint:
-        from vidsgg_big_tpu.train.train_state import load_checkpoint_epoch
-        path = args.ckpt_path or default_ckpt_dir
-        state, step = load_checkpoint(path, state)
-        # the sidecar epoch is authoritative: streaming bucketed epochs emit
-        # more steps than len(dataset)//batch_size (partial-bucket flushes),
-        # so dividing over-counts and would silently skip epochs
-        epoch = load_checkpoint_epoch(path, step)
-        start_epoch = epoch if epoch is not None else step // iters_per_epoch
-        logger.info(f"resumed from {path} at step {step} "
-                    f"(epoch {start_epoch})")
-    return state, start_epoch
 
 
 def _setup(args, tag):
@@ -120,8 +102,8 @@ def train_baseline(args):
     state = create_train_state(params, tx)
     ckpt_dir = os.path.join(experiment_dir,
                             f"checkpoints_base_{args.save_tag}")
-    state, start_epoch = _maybe_resume(args, logger, state, ckpt_dir,
-                                       iters_per_epoch)
+    state, start_epoch, start_batch = maybe_resume(args, logger, state,
+                                                   ckpt_dir, iters_per_epoch)
 
     def step(state, props, gts, rng):
         def loss_fn(p):
@@ -132,24 +114,22 @@ def train_baseline(args):
         return state.apply_gradients(grads, tx), dict(d, total=total)
 
     step = jax.jit(step, donate_argnums=(0,))
-    rng = jax.random.PRNGKey(args.seed + 1)
-    it = int(state.step)
-    for epoch in range(start_epoch, total_epoch):
-        losses = []
-        for key, rows, props, gts in prefetch(bucketed_batches(
-                iter_shuffled(dataset, seed=epoch, map_fn=row_of),
-                spec, batch_size)):
-            rng, sub = jax.random.split(rng)
-            state, metrics = step(state, props, gts, sub)
-            it += 1
-            losses.append(float(metrics["total"]))
-            if it % 10 == 0:
-                writer.add_scalar("loss/total", losses[-1], it)
-        logger.info(f"epoch {epoch} mean loss {np.mean(losses):.4f}")
-        if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
-            save_checkpoint(ckpt_dir, jax.device_get(state), it,
-                            epoch=epoch + 1)
-            logger.info(f"checkpoint saved at {ckpt_dir}")
+
+    def epoch_stream(epoch, skip):
+        gen = bucketed_batches(
+            iter_shuffled(dataset, seed=epoch, map_fn=row_of),
+            spec, batch_size)
+        if skip:
+            gen = itertools.islice(gen, skip, None)
+        return prefetch(gen)
+
+    state = run_epochs(
+        state, lambda s, b, sub: step(s, b[2], b[3], sub), epoch_stream,
+        start_epoch=start_epoch, total_epoch=total_epoch,
+        base_rng=jax.random.PRNGKey(args.seed + 1), writer=writer,
+        logger=logger, ckpt_dir=ckpt_dir, ckpt_every=args.ckpt_every,
+        start_batch=start_batch, should_stop=install_stop_handler(logger),
+        stop_after_batches=getattr(args, "stop_after_batches", 0))
     writer.close()
     return state
 
@@ -230,7 +210,7 @@ def train_grounding_stage(args):
         return (np.asarray(feats), np.asarray(clip_mask),
                 np.asarray(n_clips), gts, np.asarray(video_len))
 
-    def epoch_batches(epoch):
+    def epoch_batches(epoch, skip=0):
         """Stream shuffled videos into per-T-bucket batches through the
         shared grouper (data/bucketing.py ``stream_buckets``): full buckets
         flush as they fill, partial buckets flush early padded+masked when
@@ -239,9 +219,12 @@ def train_grounding_stage(args):
         the TrackletBatch loops use."""
         rows_it = ((it_[0], it_[-1])
                    for it_ in iter_shuffled(dataset, seed=epoch))
-        for t, rows, n_real in stream_buckets(
-                rows_it, lambda r: clip_bucket_of(r[0].shape[0]),
-                batch_size):
+        gen = stream_buckets(rows_it,
+                             lambda r: clip_bucket_of(r[0].shape[0]),
+                             batch_size)
+        if skip:          # resume: the stream is deterministic per epoch
+            gen = itertools.islice(gen, skip, None)
+        for t, rows, n_real in gen:
             yield make_batch(rows, t, n_real)
 
     # init from a peeked single-video batch (jit re-specializes per bucket)
@@ -262,8 +245,8 @@ def train_grounding_stage(args):
     state = create_train_state(params, tx)
     ckpt_dir = os.path.join(experiment_dir,
                             f"checkpoints_grd_{args.save_tag}")
-    state, start_epoch = _maybe_resume(args, logger, state, ckpt_dir,
-                                       iters_per_epoch)
+    state, start_epoch, start_batch = maybe_resume(args, logger, state,
+                                                   ckpt_dir, iters_per_epoch)
     # grounding params are small (dim_hidden=128): no TP rules — an
     # explicit --mesh D,M still runs, batch-sharded over its data axis
     # with replicated params
@@ -279,24 +262,16 @@ def train_grounding_stage(args):
             "batch_size must be divisible by the mesh's data axis"
         state = jax.device_put(state, replicated(mesh))
     step = build_grounding_train_step(model, tx, mesh=mesh, donate=False)
-    rng = jax.random.PRNGKey(args.seed + 1)
-    it = int(state.step)
-    from vidsgg_big_tpu.data.prefetch import prefetch
-    for epoch in range(start_epoch, total_epoch):
-        losses = []
-        # prefetch overlaps host-side packing with the device step
-        for batch in prefetch(epoch_batches(epoch), size=2):
-            rng, sub = jax.random.split(rng)
-            state, metrics = step(state, *batch, sub)
-            it += 1
-            losses.append(float(metrics["total"]))
-            if it % 10 == 0:
-                writer.add_scalar("loss/total", losses[-1], it)
-        logger.info(f"epoch {epoch} mean loss {np.mean(losses):.4f}")
-        if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
-            save_checkpoint(ckpt_dir, jax.device_get(state), it,
-                            epoch=epoch + 1)
-            logger.info(f"checkpoint saved at {ckpt_dir}")
+
+    # prefetch overlaps host-side packing with the device step
+    state = run_epochs(
+        state, lambda s, b, sub: step(s, *b, sub),
+        lambda epoch, skip: prefetch(epoch_batches(epoch, skip), size=2),
+        start_epoch=start_epoch, total_epoch=total_epoch,
+        base_rng=jax.random.PRNGKey(args.seed + 1), writer=writer,
+        logger=logger, ckpt_dir=ckpt_dir, ckpt_every=args.ckpt_every,
+        start_batch=start_batch, should_stop=install_stop_handler(logger),
+        stop_after_batches=getattr(args, "stop_after_batches", 0))
     writer.close()
     return state
 
@@ -352,37 +327,38 @@ def _generic_train(args, logger, writer, experiment_dir, model, bias,
         state = create_train_state(params, tx)
     ckpt_dir = os.path.join(experiment_dir,
                             f"checkpoints_cls_{args.save_tag}")
-    state, start_epoch = _maybe_resume(args, logger, state, ckpt_dir,
-                                       iters_per_epoch)
+    state, start_epoch, start_batch = maybe_resume(args, logger, state,
+                                                   ckpt_dir, iters_per_epoch)
     if mesh is not None and tp == 1:
         state = jax.device_put(state, replicated(mesh))
     # t_abs=4096: VidOR trains on videos up to 2700 frames; the vIoU
     # grid must cover the video-length bound (losses.bigc_train_loss)
     step_fn = build_train_step(model, tx, mesh=mesh, state_shardings=st_sh,
                                t_abs=4096)
-    rng = jax.random.PRNGKey(args.seed + 1)
-    it = int(state.step)
-    for epoch in range(start_epoch, total_epoch):
-        t0 = time.time()
-        losses = []
-        for key, rows, props, gts in prefetch(bucketed_batches(
-                iter_shuffled(dataset, seed=epoch, map_fn=row_of),
-                spec, batch_size)):
-            if mesh is not None:
-                props = shard_batch(props, mesh)
-                gts = shard_batch(gts, mesh)
-            rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, props, gts, sub)
-            it += 1
-            losses.append(float(metrics["total"]))
-            if it % 10 == 0:
-                writer.add_scalar("loss/total", losses[-1], it)
-        logger.info(f"epoch {epoch} done in {time.time()-t0:.1f}s "
-                    f"mean loss {np.mean(losses):.4f}")
-        if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
-            save_checkpoint(ckpt_dir, jax.device_get(state), it,
-                            epoch=epoch + 1)
-            logger.info(f"checkpoint saved at {ckpt_dir}")
+
+    def run_step(state, batch, sub):
+        key, rows, props, gts = batch
+        if mesh is not None:
+            props = shard_batch(props, mesh)
+            gts = shard_batch(gts, mesh)
+        return step_fn(state, props, gts, sub)
+
+    def epoch_stream(epoch, skip):
+        gen = bucketed_batches(
+            iter_shuffled(dataset, seed=epoch, map_fn=row_of),
+            spec, batch_size)
+        if skip:
+            gen = itertools.islice(gen, skip, None)
+        return prefetch(gen)
+
+    state = run_epochs(
+        state, run_step, epoch_stream, start_epoch=start_epoch,
+        total_epoch=total_epoch, base_rng=jax.random.PRNGKey(args.seed + 1),
+        writer=writer, logger=logger, ckpt_dir=ckpt_dir,
+        ckpt_every=args.ckpt_every, start_batch=start_batch,
+        log_extra=lambda it: f"lr {float(sched(it)):.2e}",
+        should_stop=install_stop_handler(logger),
+        stop_after_batches=getattr(args, "stop_after_batches", 0))
     writer.close()
     return state
 
@@ -410,6 +386,9 @@ if __name__ == "__main__":
                         help="tables.npz from tools/convert_checkpoint.py")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic_root", type=str, default=None)
+    parser.add_argument("--stop_after_batches", type=int, default=0,
+                        help="debug/soak hook: graceful-stop (checkpoint + "
+                             "exit) after N batches, as if SIGTERM arrived")
     args = parser.parse_args()
     if args.train_baseline:
         train_baseline(args)

@@ -5,13 +5,13 @@ TPU-native: bucketed fixed-shape batches, one jitted train step per bucket,
 data-parallel over the device mesh.
 """
 import argparse
+import itertools
 import os
-import time
 
-import numpy as np
 import jax
 
-from common import make_dataset, load_tables, load_side_tables, first_feat_dim
+from common import (make_dataset, load_tables, load_side_tables,
+                    first_feat_dim, maybe_resume)
 from vidsgg_big_tpu.utils.config import parse_config_py
 from vidsgg_big_tpu.utils.logger import create_logger, MetricWriter
 from vidsgg_big_tpu.data.bucketing import (BucketSpec, bucketed_batches,
@@ -20,8 +20,9 @@ from vidsgg_big_tpu.data.prefetch import prefetch
 from vidsgg_big_tpu.models import BigC, BigCConfig
 from vidsgg_big_tpu.parallel.mesh import make_mesh, shard_batch, replicated
 from vidsgg_big_tpu.train.train_state import (
-    make_optimizer, create_train_state, save_checkpoint, load_checkpoint)
+    make_optimizer, create_train_state)
 from vidsgg_big_tpu.train.steps import build_train_step
+from vidsgg_big_tpu.train.loop import run_epochs, install_stop_handler
 
 
 def train(args):
@@ -113,57 +114,39 @@ def train(args):
         if mesh is not None:
             state = jax.device_put(state, replicated(mesh))
 
-    start_epoch = 0
     ckpt_dir = os.path.join(experiment_dir, f"checkpoints_{args.save_tag}")
-    if args.from_checkpoint:
-        from vidsgg_big_tpu.train.train_state import load_checkpoint_epoch
-        path = args.ckpt_path or ckpt_dir
-        state, step = load_checkpoint(path, state)
-        # sidecar epoch is authoritative: streaming bucketed epochs emit more
-        # steps than len(dataset)//batch_size (partial-bucket flushes), so
-        # dividing over-counts and would silently skip epochs on resume
-        epoch = load_checkpoint_epoch(path, step)
-        start_epoch = epoch if epoch is not None else step // iters_per_epoch
-        logger.info(f"resumed from {path} at step {step} "
-                    f"(epoch {start_epoch})")
+    state, start_epoch, start_batch = maybe_resume(args, logger, state,
+                                                   ckpt_dir, iters_per_epoch)
 
     # t_abs=4096: ImageNet-VID snippets can run past 1024 frames; the
     # vIoU grid must cover the video-length bound (losses.bigc_train_loss)
     step_fn = build_train_step(model, tx, mesh=mesh, state_shardings=st_sh,
                                t_abs=4096)
-    rng = jax.random.PRNGKey(args.seed + 1)
-    it = int(state.step)
+
+    def run_step(state, batch, sub):
+        key, rows, props, gts = batch
+        if mesh is not None:
+            props = shard_batch(props, mesh)
+            gts = shard_batch(gts, mesh)
+        return step_fn(state, props, gts, sub)
+
+    def epoch_stream(epoch, skip):
+        gen = bucketed_batches(iter_shuffled(dataset, seed=epoch), spec,
+                               batch_size)
+        if skip:
+            gen = itertools.islice(gen, skip, None)
+        return prefetch(gen)
+
     logger.info("start training...")
-    for epoch in range(start_epoch, total_epoch):
-        t0 = time.time()
-        epoch_losses = []
-        for key, rows, props, gts in prefetch(bucketed_batches(
-                iter_shuffled(dataset, seed=epoch), spec, batch_size)):
-            if mesh is not None:
-                props = shard_batch(props, mesh)
-                gts = shard_batch(gts, mesh)
-            rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, props, gts, sub)
-            it += 1
-            loss = float(metrics["total"])
-            epoch_losses.append(loss)
-            if it % 10 == 0:
-                writer.add_scalar("loss/total", loss, it)
-                for k in ("cls_pos", "cls_neg", "adj", "grad_norm"):
-                    writer.add_scalar(f"loss/{k}", float(metrics[k]), it)
-                logger.info(
-                    f"epoch {epoch} it {it} loss {loss:.4f} "
-                    f"lr {float(sched(it)):.2e} "
-                    + " ".join(f"{k}={float(metrics[k]):.4f}"
-                               for k in ("cls_pos", "cls_neg", "adj")))
-        writer.add_scalar("loss/epoch_mean", float(np.mean(epoch_losses)),
-                          epoch)
-        logger.info(f"epoch {epoch} done in {time.time()-t0:.1f}s, "
-                    f"mean loss {np.mean(epoch_losses):.4f}")
-        if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == total_epoch:
-            save_checkpoint(ckpt_dir, jax.device_get(state), it,
-                            epoch=epoch + 1)
-            logger.info(f"checkpoint saved at {ckpt_dir} (step {it})")
+    state = run_epochs(
+        state, run_step, epoch_stream, start_epoch=start_epoch,
+        total_epoch=total_epoch, base_rng=jax.random.PRNGKey(args.seed + 1),
+        writer=writer, logger=logger, ckpt_dir=ckpt_dir,
+        ckpt_every=args.ckpt_every, start_batch=start_batch,
+        extra_metrics=("cls_pos", "cls_neg", "adj", "grad_norm"),
+        log_extra=lambda it: f"lr {float(sched(it)):.2e}",
+        should_stop=install_stop_handler(logger),
+        stop_after_batches=getattr(args, "stop_after_batches", 0))
     writer.close()
     return state
 
@@ -198,4 +181,7 @@ if __name__ == "__main__":
     parser.add_argument("--compute_dtype", type=str, default=None,
                         choices=("float32", "bfloat16"),
                         help="override the model compute dtype")
+    parser.add_argument("--stop_after_batches", type=int, default=0,
+                        help="debug/soak hook: graceful-stop (checkpoint + "
+                             "exit) after N batches, as if SIGTERM arrived")
     train(parser.parse_args())

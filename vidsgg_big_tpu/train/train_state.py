@@ -54,14 +54,19 @@ def create_train_state(params, tx) -> TrainState:
 # --------------------------- checkpointing ---------------------------------
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
-                    keep: int = 5, epoch: int | None = None):
+                    keep: int = 5, epoch: int | None = None,
+                    batch_in_epoch: int = 0):
     """Save the train state; ``epoch`` (the next epoch to train) is stored
     in a json sidecar because it is NOT derivable from ``step``: the
     streaming bucketed epochs emit a per-epoch step count that depends on
     how records landed in buckets (partial flushes, remainder padding), so
     ``step // (len(dataset) // batch_size)`` over-counts and would skip
     epochs on resume (the reference stores ``crt_epoch`` in its .pth for
-    the same reason, reference tools/train_vidvrd.py:30-38)."""
+    the same reason, reference tools/train_vidvrd.py:30-38).
+
+    ``batch_in_epoch`` > 0 marks a graceful mid-epoch stop: ``epoch`` then
+    names the *interrupted* epoch and resume fast-forwards its deterministic
+    batch stream by ``batch_in_epoch`` (train/loop.py)."""
     import orbax.checkpoint as ocp
     ckpt_dir = os.path.abspath(ckpt_dir)
     with ocp.CheckpointManager(
@@ -75,7 +80,8 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
         path = os.path.join(ckpt_dir, f"meta_{step}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"step": step, "epoch": epoch}, f)
+            json.dump({"step": step, "epoch": epoch,
+                       "batch_in_epoch": int(batch_in_epoch)}, f)
         os.replace(tmp, path)
     # prune sidecars of checkpoints orbax's max_to_keep already deleted
     import glob
@@ -105,12 +111,21 @@ def load_checkpoint_epoch(ckpt_dir: str, step: int) -> int | None:
     """Epoch recorded by :func:`save_checkpoint`, or None for checkpoints
     written before the sidecar existed (callers fall back to the old
     step-division estimate)."""
+    epoch, _ = load_checkpoint_position(ckpt_dir, step)
+    return epoch
+
+
+def load_checkpoint_position(ckpt_dir: str, step: int) \
+        -> tuple[int | None, int]:
+    """``(epoch, batch_in_epoch)`` from the sidecar; ``(None, 0)`` when the
+    sidecar is missing or corrupt (pre-sidecar checkpoints)."""
     import json
     path = os.path.join(os.path.abspath(ckpt_dir), f"meta_{step}.json")
     if not os.path.exists(path):
-        return None
+        return None, 0
     try:
         with open(path) as f:
-            return json.load(f)["epoch"]
-    except (json.JSONDecodeError, KeyError, OSError):
-        return None    # corrupt sidecar: fall back like a missing one
+            d = json.load(f)
+        return d["epoch"], int(d.get("batch_in_epoch", 0))
+    except (json.JSONDecodeError, KeyError, ValueError, OSError):
+        return None, 0    # corrupt sidecar: fall back like a missing one
