@@ -50,7 +50,7 @@ def series(rows, tag):
 
 
 def run_cli(mode, outdir, extra, *, timeout_s=None, env_extra=None,
-            log_name="run.log"):
+            log_name="run.log", ckpt_every=50):
     cfg = {"vidvrd": ("tools/train_vidvrd.py",
                       ["--cfg_path", "experiments/exp2/config_.py",
                        "--use_pku", "--synthetic_model_dims",
@@ -59,8 +59,11 @@ def run_cli(mode, outdir, extra, *, timeout_s=None, env_extra=None,
                          ["--cfg_path",
                           "experiments/grounding_weights/config_.py",
                           "--train_grounding"])}[mode]
+    # orbax saves cost ~20 s each on this host; the graceful-stop path
+    # checkpoints on SIGTERM regardless, so a sparse cadence is safe for
+    # the kill/resume rehearsal too
     cmd = [sys.executable, cfg[0], *cfg[1], "--output_dir", outdir,
-           "--ckpt_every", "1", *extra]
+           "--ckpt_every", str(ckpt_every), *extra]
     if timeout_s is not None:
         cmd = ["timeout", "--signal=TERM", "--kill-after=600",
                str(timeout_s)] + cmd
@@ -72,7 +75,7 @@ def run_cli(mode, outdir, extra, *, timeout_s=None, env_extra=None,
     log = os.path.join(outdir, log_name)
     t0 = time.time()
     with open(log, "w") as f:
-        p = subprocess.run(cmd, cwd=os.path.join(REPO, "tools"), env=env,
+        p = subprocess.run(cmd, cwd=REPO, env=env,
                            stdout=f, stderr=subprocess.STDOUT)
     dt = time.time() - t0
     print(f"  [{mode}] {' '.join(extra)}: rc={p.returncode} in {dt:.0f}s",
@@ -156,13 +159,18 @@ def main():
         rc, log, dt = run_cli(args.mode, outdir,
                               common + ["--epochs", str(args.epochs)],
                               timeout_s=args.kill_after)
-        # graceful-stop exits 0 before timeout escalates; timeout returns
-        # 124 only if the deadline passed (we expect 0: the TERM handler
-        # finishes the step, checkpoints, exits)
-        assert rc == 0, f"killed run did not exit cleanly rc={rc} ({log})"
+        # timeout(1) exits 124 whenever the deadline fired, even when the
+        # command handled TERM gracefully and exited 0 afterwards — so the
+        # proof of a graceful stop is the loop's own log line (the handler
+        # finishes the in-flight step, checkpoints, exits).  If TERM lands
+        # before the train loop installed its handler (still compiling),
+        # there is no such line: pick --kill_after past the warmup.
+        assert rc in (0, 124), f"killed run crashed rc={rc} ({log})"
         with open(log) as f:
             txt = f.read()
-        assert "graceful stop" in txt, f"no graceful stop recorded in {log}"
+        assert "graceful stop" in txt or "stopping at the next step" in txt,\
+            (f"no graceful stop recorded in {log} — did --kill_after "
+             f"({args.kill_after}s) land before the train loop started?")
         rows_k = read_journal(outdir, "loss/total")
         k_last = max(series(rows_k, "loss/total"), default=0)
 

@@ -28,5 +28,9 @@ def test_dryrun_multichip_layouts(n):
          "multichip", str(n)],
         capture_output=True, text=True, timeout=540, env=env, cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
-    assert f"dryrun_multichip({n}): one sharded train step OK" in r.stdout, \
-        r.stdout
+    assert f"dryrun_multichip({n}): [1/3] BIG-C sharded train step OK" in \
+        r.stdout, r.stdout
+    assert f"dryrun_multichip({n}): [2/3] BIG-C sharded inference OK" in \
+        r.stdout, r.stdout
+    assert f"dryrun_multichip({n}): [3/3] grounding sharded train step OK" \
+        in r.stdout, r.stdout

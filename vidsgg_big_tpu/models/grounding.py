@@ -25,6 +25,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.temporal import tiou, tiou_left_right
+from ..ops.attention import (attn_chunked_stored, composed_qkvo,
+                             attn_composed_flash)
+from ..ops.pallas_attention import fused_composed_attention
 
 kaiming = nn.initializers.he_normal()
 # torch.nn.Linear default init: U(+-1/sqrt(fan_in)) — the reference leaves all
@@ -74,6 +77,36 @@ class GroundingConfig:
                    loss_reg=lf.get("regression", 1.0),
                    compute_dtype=d.get("compute_dtype", "float32"),
                    stable_head_init=d.get("stable_head_init", False))
+
+
+def _dg_init(base, n_in_axes: int):
+    """Wrap an initializer the way nn.DenseGeneral does: draw on the
+    2-D (prod(in_axes), prod(out_axes)) shape, then reshape — so raw
+    ``self.param`` declarations get bit-identical init to the DenseGeneral
+    modules they replace (checkpoints are unaffected either way)."""
+    def init(rng, shape, dtype=jnp.float32):
+        flat = (int(np.prod(shape[:n_in_axes])),
+                int(np.prod(shape[n_in_axes:])))
+        return base(rng, flat, dtype).reshape(shape)
+    return init
+
+
+class _DenseGeneralParams(nn.Module):
+    """{kernel, bias} container with nn.DenseGeneral's scope layout + init,
+    for paths that need the raw projection kernels (ops/attention.py's
+    head-composed lowering folds W_q W_k^T / W_v W_o into d-width
+    composites before the contraction)."""
+    kernel_shape: tuple
+    bias_shape: tuple
+    n_in_axes: int = 1
+    kernel_init: callable = xavier_u
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", _dg_init(self.kernel_init,
+                                              self.n_in_axes),
+                           self.kernel_shape),
+                self.param("bias", nn.initializers.zeros, self.bias_shape))
 
 
 class _ConvParams(nn.Module):
@@ -161,6 +194,23 @@ class QANetEncoderLayer(nn.Module):
     attn_dropout: float = 0.1          # on the attention weights (ref :0.1)
     attn_bytes_budget: int = 1 << 30   # logits bigger than this never
     #                                    materialize (Pallas / chunking)
+    fused_attention: bool = True       # custom fused head-composed Pallas
+    #                                    kernel (ops/pallas_attention.py) on
+    #                                    big TPU shapes, train + eval — the
+    #                                    (BQ, h, T, T) tensor never touches
+    #                                    HBM and dropout draws from the
+    #                                    on-core PRNG; falls back to the
+    #                                    chunked path off-TPU / at
+    #                                    non-128-aligned shapes
+    flash_attention: bool = False      # head-composed stock Pallas flash
+    #                                    kernel on big deterministic shapes —
+    #                                    measured 2.7x SLOWER than chunked
+    #                                    XLA at (BQ=1024, T=512): the stock
+    #                                    kernel wants per-head K/V operands
+    #                                    (8x broadcast of x) and its b*h grid
+    #                                    is pathological here
+    #                                    (scripts/attn_fwd_compare.py) — kept
+    #                                    as an option, off by default
     dtype: Optional[jnp.dtype] = None  # compute dtype (norms/softmax in f32)
 
     @nn.compact
@@ -195,26 +245,41 @@ class QANetEncoderLayer(nn.Module):
         # self-attention over time
         h = 8
         hd = d // h
-        dense = lambda nm: nn.DenseGeneral((h, hd), axis=-1, dtype=cdt,
-                                           kernel_init=xavier_u, name=nm)
-        qh, kh, vh = dense("attn_q")(out), dense("attn_k")(out), \
-            dense("attn_v")(out)
+        # raw {kernel, bias} with nn.DenseGeneral's exact scopes + init: the
+        # head-composed lowering below folds the kernels together before the
+        # contraction, so it needs them unapplied (ops/attention.py)
+        wq, bq = _DenseGeneralParams((d, h, hd), (h, hd), name="attn_q")()
+        wk, bk = _DenseGeneralParams((d, h, hd), (h, hd), name="attn_k")()
+        wv, bv = _DenseGeneralParams((d, h, hd), (h, hd), name="attn_v")()
+        wo, bo = _DenseGeneralParams((h, hd, d), (d,), n_in_axes=2,
+                                     kernel_init=torch_linear,
+                                     name="attn_out")()
+        proj = lambda w, bias: jnp.einsum(
+            "btc,chd->bthd", out, w.astype(cdt)) + bias.astype(cdt)
         # Long clip sequences: the (B, h, T, T) attention tensor is the
-        # grounding stage's memory/time bound.  Two lowerings:
+        # grounding stage's memory/time bound.  Four lowerings:
         #   * direct XLA einsum (default; fastest at small shapes)
-        #   * chunked exact attention: when the materialized logits would
-        #     exceed ~1 GB (e.g. the B x Q flattened combined encoder at
-        #     Q=256, T=512), the batch axis is processed in lax.map blocks —
-        #     identical numerics, bounded memory.  At training the chunks are
-        #     rematerialized (backward recomputes each block's attention) and
-        #     attention dropout is drawn per chunk from a split rng, so
-        #     worst-case grounding *training* shapes stay bounded too.
-        # Pallas alternatives were measured and rejected at this model's
-        # head_dim=16: the stock flash kernel pads the head axis 8x (~2x
-        # slower than chunked), and three custom tiny-head formulations hit
-        # a Mosaic pathology (100-540 s kernel compiles, 8-15x slower than
-        # the chunked XLA lowering at (B*Q=1024, h=8, T=512)) — see
-        # docs/ROUND2.md "Pallas tiny-head attention postmortem".
+        #   * fused head-composed Pallas kernel (big TPU shapes, train +
+        #     eval): logits factor through the d x d composites Wq Wk^T /
+        #     Wv Wo so the contraction runs at d=128 (full MXU width), one
+        #     (row, q-block) tile at a time entirely in VMEM — the attention
+        #     tensor never reaches HBM, and dropout keep-masks come from the
+        #     on-core PRNG (reseeded identically in the backward).  See
+        #     ops/pallas_attention.py.
+        #   * chunked stored-A (ops/attention.py attn_chunked_stored): when
+        #     the materialized logits would exceed ~1 GB (e.g. the B x Q
+        #     flattened combined encoder at Q=256, T=512), the batch axis is
+        #     processed in lax.map blocks — identical numerics, bounded
+        #     memory.  Each block's softmax output is stored (in the value
+        #     dtype) through a custom VJP, so the backward recomputes
+        #     nothing — replacing round-3's whole-block rematerialization
+        #     (2.8x-forward backward, docs/ROUND3.md).
+        #   * head-composed flash (deterministic only): per-head Wq Wk^T /
+        #     Wv Wo fold into (d, d) composites so the contraction runs at
+        #     d=128 instead of head_dim=16, exactly the shape the stock
+        #     Pallas TPU flash kernel wants — no (B, h, T, T) tensor at all.
+        #     (The round-2 Pallas postmortem was about head_dim-16 kernels;
+        #     composition removes the tiny minor dim instead of tiling it.)
         attn_bytes = 4 * b * h * t * t
         chunk = b
         while chunk * h * t * t * 4 > self.attn_bytes_budget and \
@@ -222,36 +287,31 @@ class QANetEncoderLayer(nn.Module):
             chunk //= 2
         drop = (not deterministic) and self.attn_dropout > 0.0
         if chunk < b and attn_bytes > self.attn_bytes_budget:
+            # Pallas constraints: 128-aligned seq blocks, d on lanes
+            composable = t % 128 == 0 and d % 128 == 0 and \
+                jax.default_backend() == "tpu"
+            use_fused = self.fused_attention and composable
+            use_flash = (not drop) and self.flash_attention and composable
             m = mask if mask is not None else jnp.ones((b, t), bool)
-            n_blk = b // chunk
-
-            def blk(args):
-                if drop:
-                    qc, kc, vc, mc, key = args
-                else:
-                    qc, kc, vc, mc = args
-                lg = jnp.einsum("bqhd,bkhd->bhqk", qc, kc).astype(
-                    jnp.float32) / np.sqrt(hd)
-                neg = jnp.asarray(jnp.finfo(lg.dtype).min, lg.dtype)
-                lg = jnp.where(mc[:, None, None, :], lg, neg)
-                at = nn.softmax(lg, axis=-1)
-                at = jnp.where(mc[:, None, None, :], at, 0.0)
-                at = at.astype(vc.dtype)
-                if drop:
-                    keep = jax.random.bernoulli(
-                        key, 1.0 - self.attn_dropout, at.shape)
-                    at = jnp.where(keep, at / (1.0 - self.attn_dropout), 0.0)
-                return jnp.einsum("bhqk,bkhd->bqhd", at, vc)
-
-            ops = (qh.reshape(n_blk, chunk, t, h, hd),
-                   kh.reshape(n_blk, chunk, t, h, hd),
-                   vh.reshape(n_blk, chunk, t, h, hd),
-                   m.reshape(n_blk, chunk, t))
-            if drop:
-                ops += (jax.random.split(self.make_rng("dropout"), n_blk),)
-            fn = blk if deterministic else jax.checkpoint(blk)
-            out = jax.lax.map(fn, ops).reshape(b, t, h, hd)
+            if use_fused:
+                wqk, wb, wvo, cb = composed_qkvo(wq, bq, wk, wv, wo, bv, bo)
+                rng = self.make_rng("dropout") if drop else None
+                out = fused_composed_attention(
+                    out, m, wqk, wb, wvo, cb, hd=hd,
+                    dropout=self.attn_dropout if drop else 0.0, rng=rng)
+            elif use_flash:
+                wqk, wb, wvo, cb = composed_qkvo(wq, bq, wk, wv, wo, bv, bo)
+                out = attn_composed_flash(out, m, wqk, wb, wvo, cb, hd=hd)
+            else:
+                qh, kh, vh = proj(wq, bq), proj(wk, bk), proj(wv, bv)
+                rng = self.make_rng("dropout") if drop else None
+                out = attn_chunked_stored(
+                    qh, kh, vh, m, chunk=chunk,
+                    dropout=self.attn_dropout if drop else 0.0, rng=rng)
+                out = jnp.einsum("bqhd,hdc->bqc", out, wo.astype(cdt)) + \
+                    bo.astype(cdt)
         else:
+            qh, kh, vh = proj(wq, bq), proj(wk, bk), proj(wv, bv)
             logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(
                 jnp.float32) / np.sqrt(hd)
             if mask is not None:
@@ -263,8 +323,8 @@ class QANetEncoderLayer(nn.Module):
             attn = nn.Dropout(self.attn_dropout)(attn,
                                                  deterministic=deterministic)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(vh.dtype), vh)
-        out = nn.DenseGeneral(d, axis=(-2, -1), kernel_init=torch_linear,
-                              dtype=cdt, name="attn_out")(out)
+            out = jnp.einsum("bqhd,hdc->bqc", out, wo.astype(cdt)) + \
+                bo.astype(cdt)
         out = z(out + res)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         res = out
