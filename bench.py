@@ -535,6 +535,24 @@ def main():
         extra["infer_vidor_int8_feats_videos_per_sec"] = round(
             bench_vidor(feat_dtype=np.int8), 1)
 
+    # soak results (scripts/soak_train.py writes SOAK_*.json at the repo
+    # root) ride along so the driver-captured bench records the sustained
+    # on-chip numbers, not just steady-state step timings
+    import glob
+    for soak_path in sorted(glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "SOAK_*.json"))):
+        try:
+            with open(soak_path) as f:
+                soak = json.load(f)
+            mode = soak.get("mode", "unknown")
+            for k in ("steps", "step_ms_p50", "step_ms_p95",
+                      "compiles_post_warmup", "resume_bit_equal"):
+                if k in soak:
+                    extra[f"soak_{mode}_{k}"] = soak[k]
+        except Exception as e:
+            print(f"[soak] {soak_path}: {e!r}", file=sys.stderr)
+
     run_stage("train step", 400, _train)
     run_stage("grounding inference", 300, _grounding)
     run_stage("grounding train step", 350, _grounding_train)

@@ -8,15 +8,16 @@ and verifies the properties the reference proved only implicitly through its
               tools/train_vidor.py --train_grounding; records post-warmup
               step-time p50/p95 (tunnel oscillation included) and asserts
               zero post-warmup recompiles (JAX_LOG_COMPILES).
-  kill/resume a second run is SIGTERM'd mid-epoch (timeout(1) -- the
-              graceful-stop path in train/loop.py checkpoints and exits 0),
-              resumed with --from_checkpoint, and every post-resume
-              ``loss/total`` journal entry must be BIT-EQUAL to the
-              uninterrupted run at the same global step.
+  kill/resume a second run is SIGTERM'd once its journal shows
+              --kill_at_step optimizer steps (the graceful-stop path in
+              train/loop.py finishes the in-flight step, checkpoints, and
+              exits 0), resumed with --from_checkpoint, and every
+              post-resume ``loss/total`` journal entry must be BIT-EQUAL
+              to the uninterrupted run at the same global step.
 
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/soak_train.py \
-      --mode vidvrd --videos 64 --epochs 12 --kill_after 120 \
+      --mode vidvrd --videos 64 --epochs 12 --kill_at_step 20 \
       --out /tmp/soak_vidvrd.json
   --mode grounding uses tools/train_vidor.py --train_grounding.
   --skip_kill / --skip_soak run half the rehearsal.
@@ -26,6 +27,7 @@ import json
 import os
 import re
 import shutil
+import signal
 import subprocess
 import sys
 import time
@@ -49,7 +51,7 @@ def series(rows, tag):
     return {r["step"]: r["value"] for r in rows if r["tag"] == tag}
 
 
-def run_cli(mode, outdir, extra, *, timeout_s=None, env_extra=None,
+def run_cli(mode, outdir, extra, *, kill_at_step=None, env_extra=None,
             log_name="run.log", ckpt_every=50):
     cfg = {"vidvrd": ("tools/train_vidvrd.py",
                       ["--cfg_path", "experiments/exp2/config_.py",
@@ -64,9 +66,6 @@ def run_cli(mode, outdir, extra, *, timeout_s=None, env_extra=None,
     # the kill/resume rehearsal too
     cmd = [sys.executable, cfg[0], *cfg[1], "--output_dir", outdir,
            "--ckpt_every", str(ckpt_every), *extra]
-    if timeout_s is not None:
-        cmd = ["timeout", "--signal=TERM", "--kill-after=600",
-               str(timeout_s)] + cmd
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
     env["JAX_LOG_COMPILES"] = "1"
@@ -75,26 +74,60 @@ def run_cli(mode, outdir, extra, *, timeout_s=None, env_extra=None,
     log = os.path.join(outdir, log_name)
     t0 = time.time()
     with open(log, "w") as f:
-        p = subprocess.run(cmd, cwd=REPO, env=env,
-                           stdout=f, stderr=subprocess.STDOUT)
+        p = subprocess.Popen(cmd, cwd=REPO, env=env,
+                             stdout=f, stderr=subprocess.STDOUT)
+        if kill_at_step is not None:
+            # send SIGTERM only once the journal proves the train loop is
+            # live and past kill_at_step optimizer steps — wall-clock
+            # deadlines miss the window when startup (compiles, data prep,
+            # tunnel) stretches by minutes.  Never SIGKILL: an axon client
+            # killed mid-compile/H2D wedges the remote worker (CLAUDE.md).
+            sent = False
+            while p.poll() is None:
+                time.sleep(5)
+                if not sent:
+                    try:
+                        steps = series(read_journal(outdir, ""),
+                                       "loss/total")
+                    except FileNotFoundError:
+                        continue
+                    if steps and max(steps) >= kill_at_step:
+                        p.send_signal(signal.SIGTERM)
+                        sent = True
+            assert sent, f"run ended before reaching step {kill_at_step}"
+        p.wait()
     dt = time.time() - t0
     print(f"  [{mode}] {' '.join(extra)}: rc={p.returncode} in {dt:.0f}s",
           flush=True)
     return p.returncode, log, dt
 
 
-def count_recompiles_after(log_path, warmup_wall_s, t_start):
-    """Compile events logged after the warmup window (JAX_LOG_COMPILES
-    writes 'Finished tracing + transforming ... for jit' + compile lines;
-    we count distinct 'Compiling <name>' lines stamped after warmup)."""
+def count_recompiles(log_path, after_ts=None):
+    """(total, late) counts of 'Compiling <name>' events (JAX_LOG_COMPILES).
+
+    ``late`` counts compile lines whose absl timestamp prefix
+    (``WARNING:2026-08-19 10:15:58,778:jax...``) is newer than ``after_ts``
+    (a ``time.time()`` float, e.g. the journal ``ts`` of the first
+    post-warmup step) — the soak's "zero post-warmup recompiles" assert.
+    """
     n_total, n_late = 0, 0
     pat = re.compile(r"Compiling ([\w.<>-]+)")
+    ts_pat = re.compile(r":(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),(\d{3}):")
     with open(log_path) as f:
         for line in f:
-            m = pat.search(line)
-            if m:
-                n_total += 1
-    return n_total
+            if not pat.search(line):
+                continue
+            n_total += 1
+            if after_ts is None:
+                continue
+            m = ts_pat.search(line)
+            if m is None:
+                n_late += 1  # unstamped compile line: count conservatively
+                continue
+            t = time.mktime(time.strptime(m.group(1), "%Y-%m-%d %H:%M:%S"))
+            if t + float(m.group(2)) / 1e3 > after_ts:
+                n_late += 1
+    return n_total, n_late
 
 
 def main():
@@ -106,9 +139,16 @@ def main():
     ap.add_argument("--steps", type=int, default=1000,
                     help="soak target (informational; epochs drive it)")
     ap.add_argument("--batch_size", type=int, default=None)
-    ap.add_argument("--kill_after", type=int, default=150,
-                    help="SIGTERM the kill-rehearsal run after this many "
-                         "seconds (should land mid-epoch, post-warmup)")
+    ap.add_argument("--kill_at_step", type=int, default=20,
+                    help="SIGTERM the kill-rehearsal run once its journal "
+                         "records this optimizer step (pick a mid-epoch, "
+                         "post-warmup step)")
+    ap.add_argument("--kill_epochs", type=int, default=None,
+                    help="epoch count for the kill/resume rehearsal "
+                         "(default: --epochs).  Legal to shrink: the lr "
+                         "schedule is milestone-based and the per-epoch "
+                         "stream is seeded by epoch index, so a shorter run "
+                         "is a bit-exact prefix of the straight soak")
     ap.add_argument("--warmup_steps", type=int, default=None,
                     help="steps excluded from p50/p95 (default: first "
                          "epoch's worth)")
@@ -144,38 +184,37 @@ def main():
         post.sort()
         p50 = post[len(post) // 2]
         p95 = post[int(len(post) * 0.95)]
-        n_comp = count_recompiles_after(log, 0, 0)
-        # compile lines after the journal's first-epoch boundary
+        warm_ts = min(r["ts"] for r in rows
+                      if r["tag"] == "loss/total" and r["step"] > warm)
+        n_comp, n_late = count_recompiles(log, after_ts=warm_ts)
         result.update(
             steps=n_steps, wall_s=round(dt, 1),
             step_ms_p50=round(p50, 2), step_ms_p95=round(p95, 2),
-            warmup_steps_excluded=warm, compiles_total=n_comp)
+            warmup_steps_excluded=warm, compiles_total=n_comp,
+            compiles_post_warmup=n_late)
         print(f"  soak: {n_steps} steps, p50 {p50:.1f} ms, p95 {p95:.1f} ms,"
-              f" {n_comp} compiles", flush=True)
+              f" {n_comp} compiles ({n_late} post-warmup)", flush=True)
+        assert n_late == 0, \
+            f"{n_late} recompiles after warmup step {warm} — see {log}"
 
     # ---- phase 2: kill + resume, bit-equality vs the straight run ---------
     if not args.skip_kill:
+        kill_epochs = args.kill_epochs or args.epochs
         outdir = os.path.join(base, "killed")
         rc, log, dt = run_cli(args.mode, outdir,
-                              common + ["--epochs", str(args.epochs)],
-                              timeout_s=args.kill_after)
-        # timeout(1) exits 124 whenever the deadline fired, even when the
-        # command handled TERM gracefully and exited 0 afterwards — so the
-        # proof of a graceful stop is the loop's own log line (the handler
-        # finishes the in-flight step, checkpoints, exits).  If TERM lands
-        # before the train loop installed its handler (still compiling),
-        # there is no such line: pick --kill_after past the warmup.
-        assert rc in (0, 124), f"killed run crashed rc={rc} ({log})"
+                              common + ["--epochs", str(kill_epochs)],
+                              kill_at_step=args.kill_at_step)
+        # the TERM handler finishes the in-flight step, checkpoints, logs
+        # "graceful stop", and exits 0
+        assert rc == 0, f"killed run did not stop gracefully rc={rc} ({log})"
         with open(log) as f:
             txt = f.read()
-        assert "graceful stop" in txt or "stopping at the next step" in txt,\
-            (f"no graceful stop recorded in {log} — did --kill_after "
-             f"({args.kill_after}s) land before the train loop started?")
+        assert "graceful stop" in txt, f"no graceful stop recorded in {log}"
         rows_k = read_journal(outdir, "loss/total")
         k_last = max(series(rows_k, "loss/total"), default=0)
 
         rc, log2, _ = run_cli(args.mode, outdir,
-                              common + ["--epochs", str(args.epochs),
+                              common + ["--epochs", str(kill_epochs),
                                         "--from_checkpoint"],
                               log_name="resume.log")
         assert rc == 0, f"resume failed rc={rc}, see {log2}"
