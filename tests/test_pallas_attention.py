@@ -115,6 +115,43 @@ def test_fused_dropout_deterministic_and_unbiased():
     assert corr > 0.99, corr
 
 
+def test_fused_spmd_batch_partitioning():
+    """Under a GSPMD mesh with the batch operand sharded over "data"
+    (exactly what the --mesh CLIs produce), the kernel's custom_partitioning
+    rule must shard the pallas_call over the batch grid — NOT replicate it
+    behind an all-gather — and sharded numerics must match the
+    single-device result (fwd and grad), on 1-D and (data, model) meshes.
+    The kernel itself is bitwise-identical per batch row; the pre-kernel
+    qh/vt einsums recompile under sharding, so the comparison carries the
+    usual f32 re-association tolerance."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    _, x, mask, comp = _setup(5, 8, 32)
+
+    def f(xx):
+        return _fused(comp, xx, mask)
+
+    def loss(xx):
+        return (f(xx) * jnp.cos(jnp.arange(D))).sum()
+
+    out_1 = jax.jit(f)(x)
+    g_1 = jax.jit(jax.grad(loss))(x)
+    for axes in [(8,), (4, 2)]:
+        names = ("data", "model")[:len(axes)]
+        mesh = Mesh(np.array(jax.devices()).reshape(axes), names)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        out_s = jax.jit(f)(xs)
+        g_s = jax.jit(jax.grad(loss))(xs)
+        assert out_s.sharding.spec == P("data"), out_s.sharding
+        assert g_s.sharding.spec == P("data"), g_s.sharding
+        np.testing.assert_allclose(np.asarray(out_1), np.asarray(out_s),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_1), np.asarray(g_s),
+                                   rtol=1e-3, atol=1e-3)
+
+
 @pytest.mark.skipif(_NO_TPU, reason="interpret-mode PRNG is a zero stub")
 def test_fused_dropout_bwd_mask_matches_fwd_mask():
     """The output is LINEAR in v_til for a fixed keep-mask, so

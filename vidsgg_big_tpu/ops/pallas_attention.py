@@ -41,6 +41,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 # golden-ratio mixers decorrelate the per-(head, q-block) PRNG streams
 _MIX_Q = np.int32(-1274982903)
@@ -135,13 +137,7 @@ def _pick_blk_q(t: int) -> int:
     return 256 if t % 256 == 0 else 128
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _fused(dropout, interpret, scale, qh, x, vt, bias, seeds):
-    out, _ = _fused_fwd(dropout, interpret, scale, qh, x, vt, bias, seeds)
-    return out
-
-
-def _fused_fwd(dropout, interpret, scale, qh, x, vt, bias, seeds):
+def _fwd_call(dropout, interpret, scale, qh, x, vt, bias, seeds):
     b, heads, t, d = qh.shape
     blk_q = _pick_blk_q(t)
     nq = t // blk_q
@@ -166,11 +162,10 @@ def _fused_fwd(dropout, interpret, scale, qh, x, vt, bias, seeds):
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
         interpret=interpret,
     )(qh, x, vt, bias, seeds)
-    return out, (qh, x, vt, bias, seeds)
+    return out
 
 
-def _fused_bwd(dropout, interpret, scale, res, do):
-    qh, x, vt, bias, seeds = res
+def _bwd_call(dropout, interpret, scale, qh, x, vt, bias, seeds, do):
     b, heads, t, d = qh.shape
     blk_q = _pick_blk_q(t)
     nq = t // blk_q
@@ -211,6 +206,105 @@ def _fused_bwd(dropout, interpret, scale, res, do):
         ],
         interpret=interpret,
     )(qh, x, vt, bias, seeds, do)
+    return dqh, dx, dvt
+
+
+# ---- SPMD partitioning --------------------------------------------------
+#
+# Under the CLIs' (data, model) mesh the batch operands arrive sharded over
+# the "data" axis.  Without a partitioning rule, GSPMD/shardy treats the
+# Mosaic custom call as opaque and REPLICATES it — an all-gather of every
+# operand plus redundant full-batch kernel launches on every device
+# (measured on the 8-device CPU mesh: output sharding degrades to
+# PartitionSpec()).  The grid is batch-major and rows are independent, so
+# the kernel shards perfectly along the batch dim: each device runs the
+# unmodified pallas_call on its local rows (the per-row dropout seeds ride
+# along the same dim, so sharded numerics are bit-identical to unsharded).
+# Everything that is contracted or softmaxed inside the kernel (t, d, h)
+# must stay replicated; ``partition`` demands batch-only shardings and the
+# partitioner inserts the reshards where a producer disagrees.
+
+_FWD_BDIMS = (0, 0, 0, 0, 1)        # qh, x, vt, bias: dim 0; seeds: dim 1
+_BWD_BDIMS = (0, 0, 0, 0, 1, 0)     # + do: dim 0
+# shardy rules: only the shared factor ``b`` propagates; every other factor
+# is op-local and pinned replicated.
+_FWD_RULE = "b q1 q2 q3, b x1 x2, b v1 v2 v3, b m1 m2, s1 b -> b x1 x2"
+_FWD_REPL = ("q1", "q2", "q3", "x1", "x2", "v1", "v2", "v3", "m1", "m2",
+             "s1")
+_BWD_RULE = ("b q1 q2 q3, b x1 x2, b v1 v2 v3, b m1 m2, s1 b, b o1 o2"
+             " -> b q1 q2 q3, b x1 x2, b v1 v2 v3")
+_BWD_REPL = _FWD_REPL + ("o1", "o2")
+
+
+def _batch_spec(arg_shapes, batch_dims):
+    """The mesh axes the batch dim is sharded over (first operand that
+    carries a non-None spec there), or None when fully replicated."""
+    for a, bd in zip(arg_shapes, batch_dims):
+        spec = getattr(getattr(a, "sharding", None), "spec", None)
+        if spec is not None and len(spec) > bd and spec[bd] is not None:
+            return spec[bd]
+    return None
+
+
+def _batch_only(mesh, shapes, batch_dims, baxes):
+    out = []
+    for a, bd in zip(shapes, batch_dims):
+        dims = [None] * len(a.shape)
+        dims[bd] = baxes
+        out.append(NamedSharding(mesh, P(*dims)))
+    return tuple(out)
+
+
+def _batch_partitioned(raw_fn, batch_dims, out_batch_dims, rule, repl):
+    fn = custom_partitioning(raw_fn)
+
+    def infer(mesh, arg_shapes, result_shape):
+        baxes = _batch_spec(arg_shapes, batch_dims)
+        res = jax.tree.leaves(result_shape)
+        sh = _batch_only(mesh, res, out_batch_dims, baxes)
+        return tuple(sh) if len(sh) > 1 else sh[0]
+
+    def part(mesh, arg_shapes, result_shape):
+        baxes = _batch_spec(arg_shapes, batch_dims)
+        arg_sh = _batch_only(mesh, arg_shapes, batch_dims, baxes)
+        res = jax.tree.leaves(result_shape)
+        res_sh = _batch_only(mesh, res, out_batch_dims, baxes)
+        return (mesh, raw_fn,
+                tuple(res_sh) if len(res_sh) > 1 else res_sh[0], arg_sh)
+
+    fn.def_partition(part, infer_sharding_from_operands=infer,
+                     sharding_rule=rule, need_replication_factors=repl)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_cp(dropout, interpret, scale):
+    return _batch_partitioned(
+        functools.partial(_fwd_call, dropout, interpret, scale),
+        _FWD_BDIMS, (0,), _FWD_RULE, _FWD_REPL)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_cp(dropout, interpret, scale):
+    return _batch_partitioned(
+        functools.partial(_bwd_call, dropout, interpret, scale),
+        _BWD_BDIMS, (0, 0, 0), _BWD_RULE, _BWD_REPL)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused(dropout, interpret, scale, qh, x, vt, bias, seeds):
+    return _fwd_cp(dropout, interpret, scale)(qh, x, vt, bias, seeds)
+
+
+def _fused_fwd(dropout, interpret, scale, qh, x, vt, bias, seeds):
+    out = _fwd_cp(dropout, interpret, scale)(qh, x, vt, bias, seeds)
+    return out, (qh, x, vt, bias, seeds)
+
+
+def _fused_bwd(dropout, interpret, scale, res, do):
+    qh, x, vt, bias, seeds = res
+    dqh, dx, dvt = _bwd_cp(dropout, interpret, scale)(
+        qh, x, vt, bias, seeds, do)
     return dqh, dx, dvt, None, None
 
 
