@@ -53,10 +53,14 @@ def series(rows, tag):
 
 def run_cli(mode, outdir, extra, *, kill_at_step=None, env_extra=None,
             log_name="run.log", ckpt_every=50):
+    # --feat_dtype float32 pinned: the straight run and the kill/resume
+    # pair must ship bit-identical batches for the loss bit-equality check
+    # (the bf16-wire default changes the i3d-tail time-average numerics)
     cfg = {"vidvrd": ("tools/train_vidvrd.py",
                       ["--cfg_path", "experiments/exp2/config_.py",
                        "--use_pku", "--synthetic_model_dims",
-                       "--compute_dtype", "bfloat16"]),
+                       "--compute_dtype", "bfloat16",
+                       "--feat_dtype", "float32"]),
            "grounding": ("tools/train_vidor.py",
                          ["--cfg_path",
                           "experiments/grounding_weights/config_.py",
@@ -179,7 +183,12 @@ def main():
         losses = series(rows, "loss/total")
         times = series(rows, "time/step_ms")
         n_steps = max(losses)
-        warm = args.warmup_steps or max(n_steps // args.epochs, 1)
+        # one epoch's worth of steps, from the *planned* epoch geometry —
+        # deriving it as n_steps // epochs breaks when the run is stopped
+        # early (graceful SIGTERM), shrinking the warmup window and
+        # misclassifying epoch-0 bucket-shape compiles as recompiles
+        per_epoch = -(-args.videos // (args.batch_size or 8))
+        warm = args.warmup_steps or max(per_epoch, 1)
         post = [v for k, v in sorted(times.items()) if k > warm]
         post.sort()
         p50 = post[len(post) // 2]

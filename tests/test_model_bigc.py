@@ -259,3 +259,50 @@ def test_unconsumed_feature_tail_ignored():
                                   np.asarray(out_n["pred_logits"]))
     np.testing.assert_array_equal(np.asarray(out_w["att"]),
                                   np.asarray(out_n["att"]))
+
+
+def test_bf16_wire_parity():
+    """--feat_dtype bfloat16 under bf16 compute: packing features as bf16 on
+    the host rounds exactly like the model's own .astype(compute_dtype), so
+    trunk logits are BIT-identical to shipping f32 and casting on device —
+    the 2x H2D saving is numerics-free for the visual trunk.  (With an aux
+    tail the time-average accumulates from bf16-rounded frames instead; that
+    variant is covered by the loss-proximity check below.)"""
+    import dataclasses
+    import ml_dtypes
+
+    cfg = dataclasses.replace(CFG, dim_i3d=None, compute_dtype="bfloat16")
+    model = BigC(cfg, enti_name_emb=np.random.default_rng(0).normal(
+        size=(12, 16)).astype(np.float32))
+    vids = [make_video(s, video_len=80, feat_dim=FEAT, n_gt_trajs=4,
+                       n_preds=6, num_enti_cats=12, num_pred_cats=20)
+            for s in range(2)]
+    f32 = stack_batches([pack_proposal(p, 12, 64, FEAT) for p, _ in vids])
+    bf16 = stack_batches([
+        pack_proposal(p, 12, 64, FEAT, dtype=ml_dtypes.bfloat16)
+        for p, _ in vids])
+    # pack-level contract: the bf16 wire IS the f32 wire rounded once
+    np.testing.assert_array_equal(
+        np.asarray(bf16.feats),
+        np.asarray(f32.feats).astype(ml_dtypes.bfloat16))
+
+    params = model.init(jax.random.PRNGKey(0), f32)
+    out_a = model.apply(params, f32)
+    out_b = model.apply(params, bf16)
+    np.testing.assert_array_equal(np.asarray(out_a["pred_logits"]),
+                                  np.asarray(out_b["pred_logits"]))
+    np.testing.assert_array_equal(np.asarray(out_a["att"]),
+                                  np.asarray(out_b["att"]))
+
+    # i3d-tail variant: extra_avg accumulates from bf16-rounded frames —
+    # not bit-equal, but the train loss must stay within bf16 rounding
+    cfg_i = dataclasses.replace(CFG, compute_dtype="bfloat16")
+    model_i = BigC(cfg_i, enti_name_emb=np.random.default_rng(0).normal(
+        size=(12, 16)).astype(np.float32))
+    gts = stack_batches([
+        pack_gt(g, g_bucket=6, tg_bucket=64, p_bucket=8) for _, g in vids])
+    params_i = model_i.init(jax.random.PRNGKey(0), f32)
+    la, _ = bigc_train_loss(model_i.apply(params_i, f32), f32, gts, cfg_i)
+    lb, _ = bigc_train_loss(model_i.apply(params_i, bf16), f32, gts, cfg_i)
+    assert np.isfinite(float(la)) and np.isfinite(float(lb))
+    assert abs(float(la) - float(lb)) <= 0.02 * (1.0 + abs(float(la)))

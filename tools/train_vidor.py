@@ -29,6 +29,18 @@ from vidsgg_big_tpu.train.loop import run_epochs, install_stop_handler
 from vidsgg_big_tpu.data.types import pack_gt, stack_batches
 
 
+def _wire_dtype(args, cfg):
+    """Feature wire/storage dtype for train batches (--feat_dtype).
+
+    Opt-in bfloat16 (meant for bf16 compute): the host cast rounds exactly
+    like the model's own .astype(cdt), so shipping bf16 halves the H2D
+    bytes of the feature tensor (the transfer bulk) with identical
+    visual-trunk numerics.
+    """
+    del cfg
+    return getattr(args, "feat_dtype", None) or "float32"
+
+
 def _setup(args, tag):
     experiment_dir = args.output_dir or os.path.dirname(args.cfg_path)
     log_dir = os.path.join(experiment_dir, "logfile")
@@ -36,6 +48,9 @@ def _setup(args, tag):
     logger = create_logger(os.path.join(log_dir, f"train_{tag}.log"))
     writer = MetricWriter(log_dir)
     all_cfgs = parse_config_py(args.cfg_path)
+    if getattr(args, "compute_dtype", None):
+        all_cfgs = dict(all_cfgs, model_config=dict(
+            all_cfgs["model_config"], compute_dtype=args.compute_dtype))
     return experiment_dir, logger, writer, all_cfgs
 
 
@@ -94,7 +109,7 @@ def train_baseline(args):
     # default N-ladder (tops at 192): exp6's train split allows
     # max_proposal=180, so a shorter ladder would crash pack_proposal on
     # any real video with >64 surviving proposals
-    spec = BucketSpec(feat_dim=feat_dim,
+    spec = BucketSpec(feat_dim=feat_dim, feat_dtype=_wire_dtype(args, cfg),
                       p_bucket=model_config.get("max_preds", 128))
     first = next(iter(bucketed_batches([peek], spec, 1)))
     params = model.init(jax.random.PRNGKey(args.seed), first[2])
@@ -185,7 +200,10 @@ def train_grounding_stage(args):
         nothing to the loss (every real video trains each epoch — the
         reference DataLoader keeps remainders too, drop_last=False)."""
         b = len(rows)
-        feats = np.zeros((b, t_bucket, cfg.dim_feat), np.float32)
+        import ml_dtypes
+        wdt = (ml_dtypes.bfloat16 if _wire_dtype(args, cfg) == "bfloat16"
+               else np.float32)
+        feats = np.zeros((b, t_bucket, cfg.dim_feat), wdt)
         n_clips = np.zeros((b,), np.int32)
         video_len = np.zeros((b,), np.int32)
         gts = []
@@ -301,6 +319,7 @@ def _generic_train(args, logger, writer, experiment_dir, model, bias,
     peek = row_of(dataset[0])
     feat_dim = first_feat_dim(row_of(item)[0] for item in dataset)
     spec = BucketSpec(feat_dim=feat_dim,
+                      feat_dtype=_wire_dtype(args, model.cfg),
                       p_bucket=model_config.get("max_preds", 128))
     # --mesh D[,M]: 2-D (data, model) mesh with TP params over the model
     # axis; --data_parallel: 1-D data mesh, params replicated
@@ -386,6 +405,14 @@ if __name__ == "__main__":
                         help="tables.npz from tools/convert_checkpoint.py")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic_root", type=str, default=None)
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        choices=("float32", "bfloat16"),
+                        help="override the model compute dtype")
+    parser.add_argument("--feat_dtype", type=str, default=None,
+                        choices=("float32", "bfloat16"),
+                        help="feature wire/storage dtype for train batches "
+                             "(bf16 halves H2D bytes of the feature "
+                             "tensor; pair with --compute_dtype bfloat16)")
     parser.add_argument("--stop_after_batches", type=int, default=0,
                         help="debug/soak hook: graceful-stop (checkpoint + "
                              "exit) after N batches, as if SIGTERM arrived")

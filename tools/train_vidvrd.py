@@ -81,7 +81,13 @@ def train(args):
     # records from the per-video cache (never list(dataset))
     peek = dataset[0]
     feat_dim = first_feat_dim(item[0] for item in dataset)
-    spec = BucketSpec(feat_dim=feat_dim, g_bucket=32,
+    # Wire dtype of the feature tensor (the H2D bulk: ~1 GB/batch at exp2
+    # geometry).  Opt-in --feat_dtype bfloat16 under bf16 compute halves
+    # tunnel/PCIe bytes; the host-side cast rounds exactly like the model's
+    # own .astype(cdt), so the visual-trunk numerics are identical (the
+    # aux-tail time-average then accumulates from bf16-rounded frames).
+    wire_dtype = getattr(args, "feat_dtype", None) or "float32"
+    spec = BucketSpec(feat_dim=feat_dim, g_bucket=32, feat_dtype=wire_dtype,
                       p_bucket=model_config.get("max_preds", 128))
 
     # --mesh D[,M]: explicit 2-D (data, model) mesh with megatron-style
@@ -181,6 +187,11 @@ if __name__ == "__main__":
     parser.add_argument("--compute_dtype", type=str, default=None,
                         choices=("float32", "bfloat16"),
                         help="override the model compute dtype")
+    parser.add_argument("--feat_dtype", type=str, default=None,
+                        choices=("float32", "bfloat16"),
+                        help="feature wire/storage dtype for train batches "
+                             "(bf16 halves H2D bytes of the feature "
+                             "tensor; pair with --compute_dtype bfloat16)")
     parser.add_argument("--stop_after_batches", type=int, default=0,
                         help="debug/soak hook: graceful-stop (checkpoint + "
                              "exit) after N batches, as if SIGTERM arrived")
