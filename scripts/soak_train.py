@@ -52,13 +52,20 @@ def series(rows, tag):
 
 
 def run_cli(mode, outdir, extra, *, kill_at_step=None, env_extra=None,
-            log_name="run.log", ckpt_every=50):
+            log_name="run.log", ckpt_every=50, light=False):
     # --feat_dtype float32 pinned: the straight run and the kill/resume
     # pair must ship bit-identical batches for the loss bit-equality check
-    # (the bf16-wire default changes the i3d-tail time-average numerics)
+    # (the bf16-wire default changes the i3d-tail time-average numerics).
+    # --light drops --synthetic_model_dims: features stay at the small
+    # synthetic default so each step ships ~KBs instead of ~1.2 GB over the
+    # tunnel (production dims measured 3.5 s/step wall, entirely H2D-bound;
+    # the soak's contracts — zero post-warmup recompiles, graceful stop,
+    # bit-equal resume — are geometry-independent, and production-geometry
+    # step times are bench.py's job).
+    dims = [] if light else ["--synthetic_model_dims"]
     cfg = {"vidvrd": ("tools/train_vidvrd.py",
                       ["--cfg_path", "experiments/exp2/config_.py",
-                       "--use_pku", "--synthetic_model_dims",
+                       "--use_pku", *dims,
                        "--compute_dtype", "bfloat16",
                        "--feat_dtype", "float32"]),
            "grounding": ("tools/train_vidor.py",
@@ -156,6 +163,11 @@ def main():
     ap.add_argument("--warmup_steps", type=int, default=None,
                     help="steps excluded from p50/p95 (default: first "
                          "epoch's worth)")
+    ap.add_argument("--light", action="store_true",
+                    help="synthetic features at the small default dims "
+                         "instead of the model dims (vidvrd production "
+                         "feature volume is tunnel-H2D-bound at ~3.5 s/step "
+                         "on axon; the soak contracts don't need it)")
     ap.add_argument("--skip_soak", action="store_true")
     ap.add_argument("--skip_kill", action="store_true")
     ap.add_argument("--root", type=str, default="/tmp/soak")
