@@ -12,6 +12,7 @@ vs_baseline = speedup vs the reference PyTorch implementation executing the
               published by the reference — see BASELINE.md "Throughput").
 """
 import json
+import os
 import sys
 import time
 import types
@@ -439,19 +440,52 @@ def bench_reference(recs):
         proposals = [to_proposal(r) for r in recs[:N_REF_VIDEOS]]
         with torch.no_grad():
             model([proposals[0]], topk=10)   # warm-up
-            best = float("inf")
-            for _ in range(2):               # two passes; host CPU timing is
-                t0 = time.perf_counter()     # noisy, credit the faster one
-                for p in proposals:
-                    model([p], topk=10)
-                best = min(best, time.perf_counter() - t0)
-        return len(proposals) / best
+            times = []
+            for _ in range(5):               # host CPU timing is noisy on
+                t0 = time.perf_counter()     # this contended single core:
+                for p in proposals:          # round-3/4 best-of-2 swung the
+                    model([p], topk=10)      # headline ratio ~60%; use the
+                times.append(time.perf_counter() - t0)   # median of 5
+            times.sort()
+            med = times[len(times) // 2]
+            spread = (times[-1] - times[0]) / med
+        return len(proposals) / med, round(100.0 * spread, 1)
     finally:
         sys.path.remove("/root/reference")
 
 
+def _git_rev():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+STAGE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_stage_cache.json")
+
+
+def load_stage_cache():
+    try:
+        with open(STAGE_CACHE) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def save_stage_cache(cache):
+    try:
+        with open(STAGE_CACHE, "w") as f:
+            json.dump(cache, f, indent=1)
+    except Exception as e:
+        print(f"[stage-cache] save failed: {e!r}", file=sys.stderr)
+
+
 def main():
-    import os
     t_start = time.perf_counter()
     # persistent compile cache: cold bench runs pay ~60-300 s per jitted
     # program through the axon compile helper; repeat runs then hit disk
@@ -477,24 +511,49 @@ def main():
         ours, ours_i8 = bench_ours(recs, extra)
     extra["infer_int8_feats_videos_per_sec"] = round(ours_i8, 1)
 
+    # Per-stage result cache (VERDICT r4 #2): every successful stage
+    # persists the extra-fields it produced, keyed by stage name + git rev.
+    # A stage gated out by the budget (tunnel slow window) falls back to its
+    # most recent cached result instead of leaving a hole in BENCH_r*.json;
+    # `extra["stages_from_cache"]` names them so a reader can tell measured
+    # from carried-over values.
+    rev = _git_rev()
+    cache = load_stage_cache()
+    extra["stages_from_cache"] = []
+
     def run_stage(name, min_left, fn):
         """Budget-gate a stage; retry once on transient failures (the axon
         remote-compile helper occasionally drops a response mid-read —
         observed 'response body closed before all bytes were read' — and a
         retry hits the persistent compile cache and succeeds in seconds)."""
+        before = dict(extra)
         for attempt in (1, 2):
             try:
                 if left() < min_left:
                     raise TimeoutError(f"{left():.0f}s left")
                 stage(name if attempt == 1 else f"{name} (retry)")
                 fn()
+                new = {k: v for k, v in extra.items()
+                       if k not in before or before[k] != v}
+                if new:
+                    cache[name] = {"rev": rev, "ts": time.time(),
+                                   "fields": new}
+                    save_stage_cache(cache)
                 return
             except TimeoutError as e:
                 print(f"{name} bench skipped: {e!r}", file=sys.stderr)
-                return
+                break
             except Exception as e:
                 print(f"{name} bench attempt {attempt} failed: {e!r}",
                       file=sys.stderr)
+        ent = cache.get(name)
+        if ent:
+            for k, v in ent["fields"].items():
+                extra.setdefault(k, v)
+            extra["stages_from_cache"].append(
+                {"stage": name, "rev": ent["rev"]})
+            print(f"{name}: using cached result from rev {ent['rev']}",
+                  file=sys.stderr)
 
     def _train():
         train_ms, train_vs = bench_train(recs, extra)
@@ -523,13 +582,26 @@ def main():
     # when it ran last, a slow tunnel window could eat the whole budget and
     # gate out the denominator of the headline ratio.
     try:
-        if left() < 120:
+        if left() < 150:
             raise TimeoutError(f"{left():.0f}s left")
         stage("torch reference")
-        ref = bench_reference(recs)
+        ref, ref_spread = bench_reference(recs)
+        extra["ref_videos_per_sec"] = round(ref, 3)
+        extra["ref_pass_spread_pct"] = ref_spread
+        cache["torch reference"] = {
+            "rev": rev, "ts": time.time(),
+            "fields": {"ref_videos_per_sec": round(ref, 3),
+                       "ref_pass_spread_pct": ref_spread}}
+        save_stage_cache(cache)
     except Exception as e:
         print(f"reference baseline skipped/failed: {e!r}", file=sys.stderr)
         ref = None
+        ent = cache.get("torch reference")
+        if ent:
+            ref = ent["fields"]["ref_videos_per_sec"]
+            extra.update(ent["fields"])
+            extra["stages_from_cache"].append(
+                {"stage": "torch reference", "rev": ent["rev"]})
 
     def _vidor_int8():
         extra["infer_vidor_int8_feats_videos_per_sec"] = round(
@@ -553,9 +625,13 @@ def main():
         except Exception as e:
             print(f"[soak] {soak_path}: {e!r}", file=sys.stderr)
 
+    # Order = most-recently-changed first (VERDICT r4 #2: the round's
+    # headline stage must never be the one gated out); every stage also has
+    # the cache fallback above, so a slow tunnel window can no longer leave
+    # holes in BENCH_r*.json.
+    run_stage("grounding train step", 350, _grounding_train)
     run_stage("train step", 400, _train)
     run_stage("grounding inference", 300, _grounding)
-    run_stage("grounding train step", 350, _grounding_train)
     run_stage("VidOR-geometry inference", 250, _vidor)
     run_stage("serving B=32 (Pallas role-attn auto-engaged)", 250, _serving)
     # lowest priority: gated out first when the tunnel window is slow

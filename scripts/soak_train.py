@@ -51,27 +51,101 @@ def series(rows, tag):
     return {r["step"]: r["value"] for r in rows if r["tag"] == tag}
 
 
+LIGHT_CFG = """\
+# soak --light: exp2-shaped config at the synthetic default feature dims
+# (64+16) and narrow internal dims — the soak contracts (zero post-warmup
+# recompiles, graceful stop, bit-equal resume) are geometry-independent,
+# and light steps ship ~KBs over the tunnel instead of ~1.2 GB.
+model_config = dict(
+    num_enti_cats=36, num_pred_cats=133, dim_ffn=128, dim_enti=128,
+    dim_pred=128, dim_att=128, dim_feat=64, dim_clsme=300, dim_i3d=16,
+    enco_pool_len=4, n_enco_layers=2, n_deco_layers=6, n_att_head=8,
+    num_querys=192, neg_weight=0.1, positive_vIoU_th=0.5,
+    cost_coeff_dict=dict(classification=1.0, adj_matrix=30.0),
+    loss_coeff_dict=dict(classification=1.0, adj_matrix=30.0),
+)
+train_dataset_config = dict(
+    split="train", min_frames_th=5, max_proposal=50, max_preds=100,
+    fmt="pku_i3d",
+)
+test_dataset_config = dict(train_dataset_config, split="test")
+train_config = dict(batch_size=8, total_epoch=100, initial_lr=1e-4,
+                    lr_decay=0.2, epoch_lr_milestones=[80])
+inference_config = dict(topk=10)
+"""
+
+
+def vidvrd_cfg_path(light, base):
+    """exp2 config, or the --light variant written next to the soak runs.
+
+    --light cannot simply drop --synthetic_model_dims: the model asserts
+    feature dim == dim_feat+dim_i3d (models/big_c.py:259), so small synthetic
+    features need a matching small config.
+    """
+    if not light:
+        return "experiments/exp2/config_.py"
+    path = os.path.join(base, "light_config_.py")
+    if not os.path.exists(path):
+        os.makedirs(base, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(LIGHT_CFG)
+    return path
+
+
+BASELINE_CFG = """\
+# soak --mode baseline: exp6-shaped Base-C config at the synthetic default
+# feature dims (64 RoI + 300 classeme) — the soak proves the train-loop
+# contracts for the pairwise baseline, not production step times.
+model_config = dict(
+    dataset_type="VidOR", num_enti_cats=81, num_pred_cats=51, dim_ffn=128,
+    dim_enti=128, dim_pred=128, dim_att=128, dim_feat=64, dim_clsme=300,
+    enco_pool_len=4, positive_vIoU_th=0.5, rt_triplets_topk=-1,
+    use_clsme=True, EntiNameEmb_path=None, bias_matrix_path=None,
+)
+train_dataset_config = dict(split="train")
+test_dataset_config = dict(split="val")
+train_config = dict(batch_size=8, total_epoch=100, initial_lr=1e-4,
+                    lr_decay=0.2, epoch_lr_milestones=[80])
+inference_config = dict(topk=10)
+"""
+
+
+def baseline_cfg_path(base):
+    path = os.path.join(base, "baseline_config_.py")
+    if not os.path.exists(path):
+        os.makedirs(base, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(BASELINE_CFG)
+    return path
+
+
 def run_cli(mode, outdir, extra, *, kill_at_step=None, env_extra=None,
-            log_name="run.log", ckpt_every=50, light=False):
-    # --feat_dtype float32 pinned: the straight run and the kill/resume
-    # pair must ship bit-identical batches for the loss bit-equality check
-    # (the bf16-wire default changes the i3d-tail time-average numerics).
-    # --light drops --synthetic_model_dims: features stay at the small
-    # synthetic default so each step ships ~KBs instead of ~1.2 GB over the
-    # tunnel (production dims measured 3.5 s/step wall, entirely H2D-bound;
-    # the soak's contracts — zero post-warmup recompiles, graceful stop,
-    # bit-equal resume — are geometry-independent, and production-geometry
-    # step times are bench.py's job).
+            log_name="run.log", ckpt_every=50, light=False,
+            wire="bfloat16"):
+    # --feat_dtype pinned to one explicit value (--wire) for ALL of a
+    # soak's runs: the straight run and the kill/resume pair must ship
+    # bit-identical batches for the loss bit-equality check — any dtype is
+    # bit-stable run-to-run (quant/rounding is deterministic), it just has
+    # to be the same one.  Default bfloat16 = the shipped CLI default under
+    # bf16 compute; scripts/wire_dtype_bench.py measured the wire
+    # byte-proportional (f32 44.6 s, bf16 27.3 s, int8 9.9 s per flagship
+    # batch in one window), so f32 soaks are pointlessly slow.
     dims = [] if light else ["--synthetic_model_dims"]
     cfg = {"vidvrd": ("tools/train_vidvrd.py",
-                      ["--cfg_path", "experiments/exp2/config_.py",
+                      ["--cfg_path",
+                       vidvrd_cfg_path(light, os.path.dirname(outdir)),
                        "--use_pku", *dims,
                        "--compute_dtype", "bfloat16",
-                       "--feat_dtype", "float32"]),
+                       "--feat_dtype", wire]),
            "grounding": ("tools/train_vidor.py",
                          ["--cfg_path",
                           "experiments/grounding_weights/config_.py",
-                          "--train_grounding"])}[mode]
+                          "--train_grounding"]),
+           "baseline": ("tools/train_vidor.py",
+                        ["--cfg_path",
+                         baseline_cfg_path(os.path.dirname(outdir)),
+                         "--train_baseline",
+                         "--feat_dtype", wire])}[mode]
     # orbax saves cost ~20 s each on this host; the graceful-stop path
     # checkpoints on SIGTERM regardless, so a sparse cadence is safe for
     # the kill/resume rehearsal too
@@ -143,7 +217,7 @@ def count_recompiles(log_path, after_ts=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("vidvrd", "grounding"),
+    ap.add_argument("--mode", choices=("vidvrd", "grounding", "baseline"),
                     default="vidvrd")
     ap.add_argument("--videos", type=int, default=64)
     ap.add_argument("--epochs", type=int, default=12)
@@ -163,6 +237,11 @@ def main():
     ap.add_argument("--warmup_steps", type=int, default=None,
                     help="steps excluded from p50/p95 (default: first "
                          "epoch's worth)")
+    ap.add_argument("--wire", type=str, default="bfloat16",
+                    choices=("float32", "bfloat16", "int8"),
+                    help="--feat_dtype for every run of the soak (same "
+                         "value for straight + kill/resume keeps the "
+                         "bit-equality check valid)")
     ap.add_argument("--light", action="store_true",
                     help="synthetic features at the small default dims "
                          "instead of the model dims (vidvrd production "
@@ -189,7 +268,8 @@ def main():
     if not args.skip_soak:
         outdir = os.path.join(base, "straight")
         rc, log, dt = run_cli(args.mode, outdir,
-                              common + ["--epochs", str(args.epochs)])
+                              common + ["--epochs", str(args.epochs)],
+                              light=args.light)
         assert rc == 0, f"straight run failed rc={rc}, see {log}"
         rows = read_journal(outdir, "loss/total")
         losses = series(rows, "loss/total")
@@ -224,7 +304,8 @@ def main():
         outdir = os.path.join(base, "killed")
         rc, log, dt = run_cli(args.mode, outdir,
                               common + ["--epochs", str(kill_epochs)],
-                              kill_at_step=args.kill_at_step)
+                              kill_at_step=args.kill_at_step,
+                              light=args.light)
         # the TERM handler finishes the in-flight step, checkpoints, logs
         # "graceful stop", and exits 0
         assert rc == 0, f"killed run did not stop gracefully rc={rc} ({log})"
@@ -237,7 +318,7 @@ def main():
         rc, log2, _ = run_cli(args.mode, outdir,
                               common + ["--epochs", str(kill_epochs),
                                         "--from_checkpoint"],
-                              log_name="resume.log")
+                              log_name="resume.log", light=args.light)
         assert rc == 0, f"resume failed rc={rc}, see {log2}"
         rows_r = read_journal(outdir, "loss/total")
         losses_r = series(rows_r, "loss/total")

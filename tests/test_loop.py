@@ -117,6 +117,54 @@ def test_midepoch_stop_resume_bitequal(tmp_path):
         assert ja[k] == jb[k], (k, ja[k], jb[k])
 
 
+def test_preput_pipelining_bitequal(tmp_path):
+    """The main-thread H2D lookahead (``preput``) is numerics-free: a run
+    with preput=device_put journals bit-identical per-step losses to one
+    without, sees every batch exactly once, and stops/resumes at the same
+    position."""
+    tx, step, epoch_stream, params = _toy()
+    rng = jax.random.PRNGKey(7)
+
+    w_a, log_a, dir_a = _writer_logger(tmp_path, "pa")
+    state_a = run_epochs(
+        create_train_state(params, tx), step, epoch_stream,
+        start_epoch=0, total_epoch=2, base_rng=rng, writer=w_a,
+        logger=log_a, ckpt_dir=str(tmp_path / "ck_pa"), ckpt_every=10)
+    w_a.close()
+
+    n_preput = [0]
+
+    def preput(batch):
+        n_preput[0] += 1
+        return jax.device_put(batch)
+
+    w_b, log_b, dir_b = _writer_logger(tmp_path, "pb")
+    state_b = run_epochs(
+        create_train_state(params, tx), step, epoch_stream,
+        start_epoch=0, total_epoch=2, base_rng=rng, writer=w_b,
+        logger=log_b, ckpt_dir=str(tmp_path / "ck_pb"), ckpt_every=10,
+        preput=preput)
+    w_b.close()
+    assert n_preput[0] == 10                      # every batch, exactly once
+    np.testing.assert_array_equal(np.asarray(state_a.params["w"]),
+                                  np.asarray(state_b.params["w"]))
+    ja, jb = _journal(dir_a, "loss/total"), _journal(dir_b, "loss/total")
+    assert ja == jb and set(ja) == set(range(1, 11))
+
+    # graceful stop mid-epoch with preput: position sidecar unchanged
+    # (n_done counts dispatched steps, not the looked-ahead pull)
+    w_c, log_c, _ = _writer_logger(tmp_path, "pc")
+    ck_c = str(tmp_path / "ck_pc")
+    state_c = run_epochs(
+        create_train_state(params, tx), step, epoch_stream,
+        start_epoch=0, total_epoch=2, base_rng=rng, writer=w_c,
+        logger=log_c, ckpt_dir=ck_c, ckpt_every=10, preput=preput,
+        stop_after_batches=7)
+    w_c.close()
+    assert int(state_c.step) == 7
+    assert load_checkpoint_position(ck_c, 7) == (1, 2)
+
+
 def test_stop_at_epoch_boundary_resume(tmp_path):
     """A stop landing exactly on an epoch boundary resumes cleanly (the
     resumed epoch's stream is empty; training continues with the next)."""

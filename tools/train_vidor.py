@@ -32,13 +32,21 @@ from vidsgg_big_tpu.data.types import pack_gt, stack_batches
 def _wire_dtype(args, cfg):
     """Feature wire/storage dtype for train batches (--feat_dtype).
 
-    Opt-in bfloat16 (meant for bf16 compute): the host cast rounds exactly
+    Default under bf16 compute is **bfloat16**: the host cast rounds exactly
     like the model's own .astype(cdt), so shipping bf16 halves the H2D
     bytes of the feature tensor (the transfer bulk) with identical
-    visual-trunk numerics.
+    visual-trunk numerics (tests/test_model_bigc.py::test_bf16_wire_parity
+    proves trunk logits bit-equal; the clsme-tail time-average accumulates
+    from bf16-rounded frames, covered by the same test's loss-proximity
+    check).  Opt-in ``int8`` quarters the wire bytes (per-video absmax
+    scale; training dequantizes once up front, models/big_c.py:270-278).
+    Pass ``--feat_dtype float32`` to pin the full-precision wire.
     """
-    del cfg
-    return getattr(args, "feat_dtype", None) or "float32"
+    explicit = getattr(args, "feat_dtype", None)
+    if explicit:
+        return explicit
+    cdt = getattr(cfg, "compute_dtype", None) or "float32"
+    return "bfloat16" if str(cdt) == "bfloat16" else "float32"
 
 
 def _setup(args, tag):
@@ -138,12 +146,19 @@ def train_baseline(args):
             gen = itertools.islice(gen, skip, None)
         return prefetch(gen)
 
+    def preput(batch):
+        # main-thread H2D one batch ahead (train/loop.py pipelining)
+        key, rows, props, gts = batch
+        props, gts = jax.device_put((props, gts))
+        return key, rows, props, gts
+
     state = run_epochs(
         state, lambda s, b, sub: step(s, b[2], b[3], sub), epoch_stream,
         start_epoch=start_epoch, total_epoch=total_epoch,
         base_rng=jax.random.PRNGKey(args.seed + 1), writer=writer,
         logger=logger, ckpt_dir=ckpt_dir, ckpt_every=args.ckpt_every,
         start_batch=start_batch, should_stop=install_stop_handler(logger),
+        preput=preput,
         stop_after_batches=getattr(args, "stop_after_batches", 0))
     writer.close()
     return state
@@ -281,7 +296,12 @@ def train_grounding_stage(args):
         state = jax.device_put(state, replicated(mesh))
     step = build_grounding_train_step(model, tx, mesh=mesh, donate=False)
 
-    # prefetch overlaps host-side packing with the device step
+    # prefetch overlaps host-side packing with the device step; preput
+    # issues the main-thread H2D of batch N+1 while step N runs
+    if mesh is not None:
+        preput = lambda b: shard_batch(b, mesh)  # noqa: E731
+    else:
+        preput = jax.device_put
     state = run_epochs(
         state, lambda s, b, sub: step(s, *b, sub),
         lambda epoch, skip: prefetch(epoch_batches(epoch, skip), size=2),
@@ -289,6 +309,7 @@ def train_grounding_stage(args):
         base_rng=jax.random.PRNGKey(args.seed + 1), writer=writer,
         logger=logger, ckpt_dir=ckpt_dir, ckpt_every=args.ckpt_every,
         start_batch=start_batch, should_stop=install_stop_handler(logger),
+        preput=preput,
         stop_after_batches=getattr(args, "stop_after_batches", 0))
     writer.close()
     return state
@@ -355,11 +376,18 @@ def _generic_train(args, logger, writer, experiment_dir, model, bias,
     step_fn = build_train_step(model, tx, mesh=mesh, state_shardings=st_sh,
                                t_abs=4096)
 
-    def run_step(state, batch, sub):
+    def preput(batch):
+        # main-thread H2D one batch ahead (train/loop.py pipelining)
         key, rows, props, gts = batch
         if mesh is not None:
             props = shard_batch(props, mesh)
             gts = shard_batch(gts, mesh)
+        else:
+            props, gts = jax.device_put((props, gts))
+        return key, rows, props, gts
+
+    def run_step(state, batch, sub):
+        _, _, props, gts = batch
         return step_fn(state, props, gts, sub)
 
     def epoch_stream(epoch, skip):
@@ -376,7 +404,7 @@ def _generic_train(args, logger, writer, experiment_dir, model, bias,
         writer=writer, logger=logger, ckpt_dir=ckpt_dir,
         ckpt_every=args.ckpt_every, start_batch=start_batch,
         log_extra=lambda it: f"lr {float(sched(it)):.2e}",
-        should_stop=install_stop_handler(logger),
+        should_stop=install_stop_handler(logger), preput=preput,
         stop_after_batches=getattr(args, "stop_after_batches", 0))
     writer.close()
     return state
@@ -409,10 +437,12 @@ if __name__ == "__main__":
                         choices=("float32", "bfloat16"),
                         help="override the model compute dtype")
     parser.add_argument("--feat_dtype", type=str, default=None,
-                        choices=("float32", "bfloat16"),
-                        help="feature wire/storage dtype for train batches "
-                             "(bf16 halves H2D bytes of the feature "
-                             "tensor; pair with --compute_dtype bfloat16)")
+                        choices=("float32", "bfloat16", "int8"),
+                        help="feature wire/storage dtype for train batches; "
+                             "default bfloat16 under bf16 compute (halves "
+                             "H2D bytes, trunk numerics bit-identical), "
+                             "float32 otherwise; int8 quarters the wire "
+                             "(per-video absmax quant, dequantized on core)")
     parser.add_argument("--stop_after_batches", type=int, default=0,
                         help="debug/soak hook: graceful-stop (checkpoint + "
                              "exit) after N batches, as if SIGTERM arrived")

@@ -82,11 +82,17 @@ def train(args):
     peek = dataset[0]
     feat_dim = first_feat_dim(item[0] for item in dataset)
     # Wire dtype of the feature tensor (the H2D bulk: ~1 GB/batch at exp2
-    # geometry).  Opt-in --feat_dtype bfloat16 under bf16 compute halves
-    # tunnel/PCIe bytes; the host-side cast rounds exactly like the model's
-    # own .astype(cdt), so the visual-trunk numerics are identical (the
-    # aux-tail time-average then accumulates from bf16-rounded frames).
-    wire_dtype = getattr(args, "feat_dtype", None) or "float32"
+    # geometry).  Default under bf16 compute is bfloat16: the host-side cast
+    # rounds exactly like the model's own .astype(cdt), so the visual-trunk
+    # numerics are identical (tests/test_model_bigc.py::test_bf16_wire_parity;
+    # the i3d-tail time-average then accumulates from bf16-rounded frames,
+    # covered by the same test's loss-proximity check).  --feat_dtype int8
+    # quarters the wire (per-video absmax quant, dequantized once on core);
+    # --feat_dtype float32 pins the full-precision wire.
+    wire_dtype = getattr(args, "feat_dtype", None)
+    if not wire_dtype:
+        wire_dtype = ("bfloat16" if str(cfg.compute_dtype) == "bfloat16"
+                      else "float32")
     spec = BucketSpec(feat_dim=feat_dim, g_bucket=32, feat_dtype=wire_dtype,
                       p_bucket=model_config.get("max_preds", 128))
 
@@ -129,11 +135,20 @@ def train(args):
     step_fn = build_train_step(model, tx, mesh=mesh, state_shardings=st_sh,
                                t_abs=4096)
 
-    def run_step(state, batch, sub):
+    def preput(batch):
+        # main-thread H2D one batch ahead (train/loop.py pipelining):
+        # the feature tensor is the wire bulk, so this overlaps the
+        # transfer of batch N+1 with step N's device compute
         key, rows, props, gts = batch
         if mesh is not None:
             props = shard_batch(props, mesh)
             gts = shard_batch(gts, mesh)
+        else:
+            props, gts = jax.device_put((props, gts))
+        return key, rows, props, gts
+
+    def run_step(state, batch, sub):
+        _, _, props, gts = batch
         return step_fn(state, props, gts, sub)
 
     def epoch_stream(epoch, skip):
@@ -151,7 +166,7 @@ def train(args):
         ckpt_every=args.ckpt_every, start_batch=start_batch,
         extra_metrics=("cls_pos", "cls_neg", "adj", "grad_norm"),
         log_extra=lambda it: f"lr {float(sched(it)):.2e}",
-        should_stop=install_stop_handler(logger),
+        should_stop=install_stop_handler(logger), preput=preput,
         stop_after_batches=getattr(args, "stop_after_batches", 0))
     writer.close()
     return state
@@ -188,10 +203,12 @@ if __name__ == "__main__":
                         choices=("float32", "bfloat16"),
                         help="override the model compute dtype")
     parser.add_argument("--feat_dtype", type=str, default=None,
-                        choices=("float32", "bfloat16"),
-                        help="feature wire/storage dtype for train batches "
-                             "(bf16 halves H2D bytes of the feature "
-                             "tensor; pair with --compute_dtype bfloat16)")
+                        choices=("float32", "bfloat16", "int8"),
+                        help="feature wire/storage dtype for train batches; "
+                             "default bfloat16 under bf16 compute (halves "
+                             "H2D bytes, trunk numerics bit-identical), "
+                             "float32 otherwise; int8 quarters the wire "
+                             "(per-video absmax quant, dequantized on core)")
     parser.add_argument("--stop_after_batches", type=int, default=0,
                         help="debug/soak hook: graceful-stop (checkpoint + "
                              "exit) after N batches, as if SIGTERM arrived")

@@ -22,6 +22,13 @@ Centralizes what the reference scatters through its per-tool epoch loops
   dispatching step N, overlapping the fetch with device compute.  Per-step
   ``loss/total`` and ``time/step_ms`` land in metrics.jsonl (full float
   precision — the soak harness asserts bit-equality on them).
+* **Main-thread H2D pipelining** (``preput``): axon forbids
+  background-thread ``device_put`` (it serializes against the tunnel and
+  stalls ~20x — data/prefetch.py), so the H2D copy must ride the main
+  thread.  The loop runs one batch ahead: dispatch step N, then pull +
+  ``preput`` (device_put/shard) batch N+1, then fetch step N-1's metrics —
+  packing (producer thread), the N+1 transfer, the N-1 fetch, and step N's
+  device compute all overlap.
 """
 from __future__ import annotations
 
@@ -65,6 +72,7 @@ def run_epochs(state: TrainState, run_step, epoch_stream, *,
                extra_metrics: Sequence[str] = (),
                log_extra: Optional[Callable[[int], str]] = None,
                should_stop: Optional[Callable[[], bool]] = None,
+               preput: Optional[Callable] = None,
                stop_after_batches: int = 0) -> TrainState:
     """Drive ``run_step`` over ``epoch_stream`` with checkpoint/resume.
 
@@ -77,6 +85,11 @@ def run_epochs(state: TrainState, run_step, epoch_stream, *,
       start_batch: batches already consumed in ``start_epoch`` (sidecar).
       extra_metrics: metric keys journaled every ``journal_every`` steps.
       log_extra: optional ``it -> str`` appended to the periodic log line.
+      preput: optional ``batch -> batch`` run on the MAIN thread one batch
+        ahead of its step (device_put/shard_batch of the array leaves).
+        With it, the H2D copy of batch N+1 is issued while the device runs
+        step N — the only legal H2D/compute overlap on axon, where the
+        producer thread must not transfer (data/prefetch.py).
       stop_after_batches: debug/test hook — behave as if SIGTERM arrived
         after this many batches (0 = never).
     """
@@ -119,18 +132,32 @@ def run_epochs(state: TrainState, run_step, epoch_stream, *,
         n_done = skip
         stopped = False
         t_prev[0] = time.perf_counter()
-        for batch in epoch_stream(epoch, skip):
+        stream = iter(epoch_stream(epoch, skip))
+        _END = object()
+
+        def pull():
+            nxt = next(stream, _END)
+            if preput is not None and nxt is not _END:
+                nxt = preput(nxt)           # main-thread H2D, one ahead
+            return nxt
+
+        nxt = pull()
+        while nxt is not _END:
+            batch, nxt = nxt, None
             sub = jax.random.fold_in(base_rng, it)
-            state, metrics = run_step(state, batch, sub)
+            state, metrics = run_step(state, batch, sub)    # dispatch N
             it += 1
             n_done += 1
             total_batches += 1
+            nxt = pull()                    # pack + H2D N+1 while N runs
             flush_pending(losses)           # fetch step N-1 while N runs
             pending = (it, metrics, epoch)
             if should_stop() or (stop_after_batches and
                                  total_batches >= stop_after_batches):
                 stopped = True
                 break
+        if stopped and hasattr(stream, "close"):
+            stream.close()                  # release the prefetch producer
         flush_pending(losses)
         if stopped:
             save_checkpoint(ckpt_dir, jax.device_get(state), it,
