@@ -228,6 +228,52 @@ def test_sharded_inference_matches_single_device():
             np.testing.assert_array_equal(a, b)
 
 
+def test_sharded_grounding_inference_matches_single_device():
+    """Mesh-sharded grounding inference (stage-B eval's --mesh path) equals
+    the single-device decode, with sharded outputs."""
+    import jax.numpy as jnp
+    from vidsgg_big_tpu.models.grounding import (GroundingConfig,
+                                                 GroundingModel)
+    from vidsgg_big_tpu.parallel.mesh import make_mesh, shard_batch
+    from vidsgg_big_tpu.train.grounding_steps import (
+        build_grounding_infer_step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    b, t, q = 8, 16, 8
+    rng_np = np.random.default_rng(11)
+    n_clips = jnp.asarray(rng_np.integers(t - 4, t + 1, b), jnp.int32)
+    clip_mask = jnp.arange(t)[None, :] < n_clips[:, None]
+    feats = jnp.asarray(rng_np.normal(size=(b, t, 12)), jnp.float32)
+    feats = feats * clip_mask[..., None]
+    qc = jnp.asarray(rng_np.integers(0, 8, (b, q, 3)), jnp.int32)
+    temporal = jnp.tile(jnp.asarray([0.0, 1.0], jnp.float32), (b, q, 1))
+    qm = jnp.asarray(rng_np.random((b, q)) < 0.8)
+
+    cfg = GroundingConfig(dim_feat=12, dim_clsme=16, dim_hidden=16,
+                          num_bins=4, num_pred_cats=10, num_enti_cats=8)
+    model = GroundingModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), feats, clip_mask, qc,
+                        temporal, qm)
+    kw = dict(score_th=0.0, tiou_th=0.5, bins_th=0.0, nms_th=0.8)
+
+    out1 = build_grounding_infer_step(model, **kw)(
+        params, feats, clip_mask, n_clips, qc, temporal, qm)
+
+    mesh = make_mesh(8)
+    infer8 = build_grounding_infer_step(model, mesh=mesh, **kw)
+    out8 = infer8(jax.device_put(params, NamedSharding(mesh, P())),
+                  *shard_batch((feats, clip_mask, n_clips, qc, temporal, qm),
+                               mesh))
+    assert out8[0].sharding.spec[0] == "data", out8[0].sharding
+    for a, c in zip(jax.tree_util.tree_leaves(out1),
+                    jax.tree_util.tree_leaves(out8)):
+        a, c = np.asarray(a), np.asarray(c)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
+        else:
+            np.testing.assert_array_equal(a, c)
+
+
 @pytest.mark.slow
 def test_tensor_parallel_step_matches_replicated():
     """2-D (data, model) mesh with megatron-style TP param sharding: the

@@ -184,11 +184,21 @@ def evaluate_combined(args, logger, all_cfgs, infer_results, rows, dataset):
     ginfer_cfg = grd_cfgs.get("inference_config", {})
     model = GroundingModel(gcfg)
 
+    # --mesh: data-parallel stage B (grounding params are replicated — the
+    # model has no TP layout; queries/videos are row-independent)
+    mesh = None
+    if getattr(args, "mesh", None) or args.data_parallel:
+        from vidsgg_big_tpu.parallel.mesh import make_mesh
+        n_data = (int(args.mesh.split(",")[0]) if getattr(args, "mesh", None)
+                  else None)
+        mesh = make_mesh(n_data)
+        logger.info(f"sharded stage-B grounding inference over {mesh}")
+
     infer = build_grounding_infer_step(
         model, score_th=ginfer_cfg.get("score_th", 0.9),
         tiou_th=ginfer_cfg.get("tiou_th", 0.5),
         bins_th=args.bins_th or ginfer_cfg.get("bins_th", 0.2),
-        nms_th=ginfer_cfg.get("nms_th", 0.8))
+        nms_th=ginfer_cfg.get("nms_th", 0.8), mesh=mesh)
 
     cvt = EvalFmtCvtor("vidor")
     predict_relations = {}
@@ -211,6 +221,9 @@ def evaluate_combined(args, logger, all_cfgs, infer_results, rows, dataset):
 
     params = None
     batch_size = max(args.batch_size, 4)
+    if mesh is not None:
+        d = mesh.shape["data"]
+        batch_size = -(-batch_size // d) * d   # pad rows are masked anyway
     for q_bucket, t_bucket in sorted(groups):
         group = groups[(q_bucket, t_bucket)]
         logger.info(f"grounding stage B: {len(group)} videos in "
@@ -245,11 +258,18 @@ def evaluate_combined(args, logger, all_cfgs, infer_results, rows, dataset):
                             jax.numpy.asarray(qc), jax.numpy.asarray(temp),
                             jax.numpy.asarray(qm)),
                     args.grounding_ckpt_path)
-            pooled, bins_probs, bins_mask = jax.device_get(infer(
-                params, jax.numpy.asarray(feats),
-                jax.numpy.asarray(clip_mask), jax.numpy.asarray(clips),
-                jax.numpy.asarray(qc), jax.numpy.asarray(temp),
-                jax.numpy.asarray(qm)))
+                if mesh is not None:
+                    from vidsgg_big_tpu.parallel.mesh import replicated
+                    params = jax.device_put(params, replicated(mesh))
+            operands = (feats, clip_mask, clips, qc, temp, qm)
+            if mesh is not None:
+                from vidsgg_big_tpu.parallel.mesh import shard_batch
+                operands = shard_batch(operands, mesh)
+            else:
+                operands = jax.tree_util.tree_map(jax.numpy.asarray,
+                                                  operands)
+            pooled, bins_probs, bins_mask = jax.device_get(
+                infer(params, *operands))
             for i, (prop, quint, scores3, duras) in enumerate(chunk):
                 m = quint.shape[0]
                 out = _expand_bins(prop, quint, scores3, duras,

@@ -75,10 +75,15 @@ def build_grounding_train_step(model: GroundingModel, tx, mesh=None,
 
 
 def build_grounding_infer_step(model: GroundingModel, *, score_th, tiou_th,
-                               bins_th, nms_th):
+                               bins_th, nms_th, mesh=None):
     """infer(params, video_feats (B,T,D), clip_mask, n_clips (B,), query_cats
     (B,Q,3), temporal (B,Q,2), query_mask) -> (pooled, bins_probs, bins_mask)
-    each (B, Q, K+1, ...)."""
+    each (B, Q, K+1, ...).
+
+    With ``mesh`` (stage-B eval's ``--mesh`` path): params replicated, every
+    batch operand and output sharded on its leading (video) axis over the
+    ``data`` mesh axis — queries are row-independent, so no cross-device
+    collective is needed at all."""
 
     def infer(params, video_feats, clip_mask, n_clips, query_cats, temporal,
               query_mask):
@@ -90,4 +95,11 @@ def build_grounding_infer_step(model: GroundingModel, *, score_th, tiou_th,
         return jax.vmap(decode)(regrs, conf, cls, temporal, n_clips,
                                 clip_mask, query_mask)
 
-    return jax.jit(infer)
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        kwargs = dict(in_shardings=(repl,) + (data,) * 6,
+                      out_shardings=(data, data, data))
+    return jax.jit(infer, **kwargs)
