@@ -619,6 +619,7 @@ def main():
                 soak = json.load(f)
             mode = soak.get("mode", "unknown")
             for k in ("steps", "step_ms_p50", "step_ms_p95",
+                      "videos_per_s_p50",
                       "compiles_post_warmup", "resume_bit_equal"):
                 if k in soak:
                     extra[f"soak_{mode}_{k}"] = soak[k]

@@ -121,7 +121,7 @@ def baseline_cfg_path(base):
 
 def run_cli(mode, outdir, extra, *, kill_at_step=None, env_extra=None,
             log_name="run.log", ckpt_every=50, light=False,
-            wire="bfloat16"):
+            wire="bfloat16", device_cache_gb=None):
     # --feat_dtype pinned to one explicit value (--wire) for ALL of a
     # soak's runs: the straight run and the kill/resume pair must ship
     # bit-identical batches for the loss bit-equality check — any dtype is
@@ -151,6 +151,8 @@ def run_cli(mode, outdir, extra, *, kill_at_step=None, env_extra=None,
     # the kill/resume rehearsal too
     cmd = [sys.executable, cfg[0], *cfg[1], "--output_dir", outdir,
            "--ckpt_every", str(ckpt_every), *extra]
+    if device_cache_gb is not None and mode == "vidvrd":
+        cmd += ["--device_cache_gb", str(device_cache_gb)]
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
     env["JAX_LOG_COMPILES"] = "1"
@@ -169,7 +171,7 @@ def run_cli(mode, outdir, extra, *, kill_at_step=None, env_extra=None,
             # killed mid-compile/H2D wedges the remote worker (CLAUDE.md).
             sent = False
             while p.poll() is None:
-                time.sleep(5)
+                time.sleep(1)
                 if not sent:
                     try:
                         steps = series(read_journal(outdir, ""),
@@ -242,6 +244,11 @@ def main():
                     help="--feat_dtype for every run of the soak (same "
                          "value for straight + kill/resume keeps the "
                          "bit-equality check valid)")
+    ap.add_argument("--device_cache_gb", type=float, default=8.0,
+                    help="HBM budget forwarded to the vidvrd trainer's "
+                         "device-resident record cache (epochs >= 1 skip "
+                         "the tunnel when the split fits; the full-dims "
+                         "64-video split packs to ~4.9 GB bf16)")
     ap.add_argument("--light", action="store_true",
                     help="synthetic features at the small default dims "
                          "instead of the model dims (vidvrd production "
@@ -269,7 +276,8 @@ def main():
         outdir = os.path.join(base, "straight")
         rc, log, dt = run_cli(args.mode, outdir,
                               common + ["--epochs", str(args.epochs)],
-                              light=args.light)
+                              light=args.light,
+                              device_cache_gb=args.device_cache_gb)
         assert rc == 0, f"straight run failed rc={rc}, see {log}"
         rows = read_journal(outdir, "loss/total")
         losses = series(rows, "loss/total")
@@ -280,7 +288,11 @@ def main():
         # early (graceful SIGTERM), shrinking the warmup window and
         # misclassifying epoch-0 bucket-shape compiles as recompiles
         per_epoch = -(-args.videos // (args.batch_size or 8))
-        warm = args.warmup_steps or max(per_epoch, 1)
+        # two epochs of warmup: epoch 0 compiles the train step per bucket
+        # shape, and epoch 1 compiles the device-record-cache assemble jits
+        # (data/device_cache.py) the first time each bucket is rebuilt on
+        # device — both are one-time, not shape-driven recompiles
+        warm = args.warmup_steps or max(2 * per_epoch, 1)
         post = [v for k, v in sorted(times.items()) if k > warm]
         post.sort()
         p50 = post[len(post) // 2]
@@ -288,9 +300,11 @@ def main():
         warm_ts = min(r["ts"] for r in rows
                       if r["tag"] == "loss/total" and r["step"] > warm)
         n_comp, n_late = count_recompiles(log, after_ts=warm_ts)
+        bs = args.batch_size or 8
         result.update(
             steps=n_steps, wall_s=round(dt, 1),
             step_ms_p50=round(p50, 2), step_ms_p95=round(p95, 2),
+            videos_per_s_p50=round(bs * 1000.0 / p50, 1),
             warmup_steps_excluded=warm, compiles_total=n_comp,
             compiles_post_warmup=n_late)
         print(f"  soak: {n_steps} steps, p50 {p50:.1f} ms, p95 {p95:.1f} ms,"
@@ -302,10 +316,16 @@ def main():
     if not args.skip_kill:
         kill_epochs = args.kill_epochs or args.epochs
         outdir = os.path.join(base, "killed")
+        # device cache OFF for the kill/resume pair: cached epochs run
+        # ~100x faster than host-path epochs (no SIGTERM window), and
+        # cache on/off batches are bit-identical (tests/test_device_cache)
+        # -- so this also crosschecks that invariant against the cached
+        # straight run on-chip.
         rc, log, dt = run_cli(args.mode, outdir,
                               common + ["--epochs", str(kill_epochs)],
                               kill_at_step=args.kill_at_step,
-                              light=args.light)
+                              light=args.light,
+                              device_cache_gb=0)
         # the TERM handler finishes the in-flight step, checkpoints, logs
         # "graceful stop", and exits 0
         assert rc == 0, f"killed run did not stop gracefully rc={rc} ({log})"
@@ -318,7 +338,8 @@ def main():
         rc, log2, _ = run_cli(args.mode, outdir,
                               common + ["--epochs", str(kill_epochs),
                                         "--from_checkpoint"],
-                              log_name="resume.log", light=args.light)
+                              log_name="resume.log", light=args.light,
+                              device_cache_gb=0)
         assert rc == 0, f"resume failed rc={rc}, see {log2}"
         rows_r = read_journal(outdir, "loss/total")
         losses_r = series(rows_r, "loss/total")

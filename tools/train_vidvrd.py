@@ -135,16 +135,39 @@ def train(args):
     step_fn = build_train_step(model, tx, mesh=mesh, state_shardings=st_sh,
                                t_abs=4096)
 
+    # device-resident record cache: epoch 0 captures each video's packed
+    # record as a device-side slice of its shipped batch; later epochs
+    # assemble batches on device and never touch the host->device wire
+    # (the sustained train step is wire-bound through the axon tunnel:
+    # docs/ROUND5.md).  Bit-identical batches either way.  Disabled under
+    # a mesh (cached records would need per-key shardings) and by
+    # --device_cache_gb 0.
+    cache = None
+    if mesh is None and getattr(args, "device_cache_gb", 4.0) > 0 and \
+            hasattr(dataset, "video_name_list"):
+        from vidsgg_big_tpu.data.dataset import VIDVRD_OOM_VIDEOS
+        from vidsgg_big_tpu.data.device_cache import DeviceRecordCache
+        skip = (VIDVRD_OOM_VIDEOS
+                if getattr(dataset, "split", "") == "train" else ())
+        cache = DeviceRecordCache(dataset.video_name_list, batch_size,
+                                  getattr(args, "device_cache_gb", 4.0) * 1e9,
+                                  skip_names=skip)
+
     def preput(batch):
         # main-thread H2D one batch ahead (train/loop.py pipelining):
         # the feature tensor is the wire bulk, so this overlaps the
         # transfer of batch N+1 with step N's device compute
         key, rows, props, gts = batch
+        if props is None:                       # cached-epoch descriptor
+            props, gts = cache.assemble(key, rows)
+            return key, rows, props, gts
         if mesh is not None:
             props = shard_batch(props, mesh)
             gts = shard_batch(gts, mesh)
         else:
             props, gts = jax.device_put((props, gts))
+            if cache is not None:
+                cache.offer(key, rows, props, gts)
         return key, rows, props, gts
 
     def run_step(state, batch, sub):
@@ -152,11 +175,22 @@ def train(args):
         return step_fn(state, props, gts, sub)
 
     def epoch_stream(epoch, skip):
-        gen = bucketed_batches(iter_shuffled(dataset, seed=epoch), spec,
-                               batch_size)
+        if cache is not None and cache.complete:
+            if epoch_stream.first_cached is None:
+                epoch_stream.first_cached = epoch
+                logger.info(
+                    f"device cache complete: {len(cache.records)} videos, "
+                    f"{cache.bytes / 1e9:.2f} GB on device; epoch {epoch}+ "
+                    "skips the host wire")
+            gen = ((k, names, None, None)
+                   for k, names in cache.epoch_descriptors(epoch))
+        else:
+            gen = bucketed_batches(iter_shuffled(dataset, seed=epoch), spec,
+                                   batch_size)
         if skip:
             gen = itertools.islice(gen, skip, None)
         return prefetch(gen)
+    epoch_stream.first_cached = None
 
     logger.info("start training...")
     state = run_epochs(
@@ -209,6 +243,11 @@ if __name__ == "__main__":
                              "H2D bytes, trunk numerics bit-identical), "
                              "float32 otherwise; int8 quarters the wire "
                              "(per-video absmax quant, dequantized on core)")
+    parser.add_argument("--device_cache_gb", type=float, default=4.0,
+                        help="HBM budget for the device-resident record "
+                             "cache (epochs after the first skip the "
+                             "host->device wire when the split fits); "
+                             "0 disables")
     parser.add_argument("--stop_after_batches", type=int, default=0,
                         help="debug/soak hook: graceful-stop (checkpoint + "
                              "exit) after N batches, as if SIGTERM arrived")

@@ -96,6 +96,10 @@ def run_epochs(state: TrainState, run_step, epoch_stream, *,
     should_stop = should_stop or (lambda: False)
     it = int(state.step)
     total_batches = 0
+    if log_extra is not None:
+        log_extra(it)   # warm lazily-jitted formatters (e.g. the lr
+        #                 schedule's scalar ops) so their one-time compiles
+        #                 never land mid-run and trip recompile monitors
 
     pending = None          # (it, metrics, epoch) awaiting its lagged fetch
     t_prev = [time.perf_counter()]
