@@ -297,6 +297,24 @@ def main():
         post.sort()
         p50 = post[len(post) // 2]
         p95 = post[int(len(post) * 0.95)]
+        # p95-tail decomposition: the last step of each epoch fetches its
+        # metrics synchronously (the lagged-fetch pipeline flushes at the
+        # epoch boundary) and the next epoch's stream restarts — classify
+        # steps by epoch position to show the tail is boundary-owned, not
+        # compute jitter (VERDICT r4 #6)
+        mid = sorted(v for k, v in times.items()
+                     if k > warm and k % per_epoch != 0)
+        bnd = sorted(v for k, v in times.items()
+                     if k > warm and k % per_epoch == 0)
+        tail = {}
+        if mid:
+            tail["step_ms_p95_mid_epoch"] = round(
+                mid[int(len(mid) * 0.95)], 2)
+        if bnd:
+            tail["step_ms_p50_epoch_boundary"] = round(
+                bnd[len(bnd) // 2], 2)
+            tail["step_ms_p95_epoch_boundary"] = round(
+                bnd[int(len(bnd) * 0.95)], 2)
         warm_ts = min(r["ts"] for r in rows
                       if r["tag"] == "loss/total" and r["step"] > warm)
         n_comp, n_late = count_recompiles(log, after_ts=warm_ts)
@@ -306,7 +324,7 @@ def main():
             step_ms_p50=round(p50, 2), step_ms_p95=round(p95, 2),
             videos_per_s_p50=round(bs * 1000.0 / p50, 1),
             warmup_steps_excluded=warm, compiles_total=n_comp,
-            compiles_post_warmup=n_late)
+            compiles_post_warmup=n_late, **tail)
         print(f"  soak: {n_steps} steps, p50 {p50:.1f} ms, p95 {p95:.1f} ms,"
               f" {n_comp} compiles ({n_late} post-warmup)", flush=True)
         assert n_late == 0, \

@@ -4,7 +4,12 @@ Measures separately jitted stages on the TPU:
   fwd            model forward only
   fwd+align      + vIoU alignment & Hungarian matching (lap_jv)
   fwd+loss       + full loss (no backward)
+  fwd+bwd        gradient only
   full step      value_and_grad + Adam update (the production step)
+
+plus isolated submodule fwd / fwd+bwd timings (tracklet encoder, encoder
+stack, decoder stack, prediction-head inputs, Adam update alone) so the
+38% train MFU has a per-component attribution (VERDICT r4 #3).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/train_breakdown.py
 """
@@ -100,6 +105,78 @@ def main():
         return m["total"]
 
     timeit(full, state, n=20, label="full step")
+
+    # ---- isolated submodules (fwd and fwd+bwd) ---------------------------
+    import jax.numpy as jnp
+    from vidsgg_big_tpu.models.big_c import TrackletEncoder
+    from vidsgg_big_tpu.models.layers import (TransformerEncoderLayer,
+                                              RoleAttnDecoderLayer)
+
+    te = TrackletEncoder(cfg.dim_enti, cfg.dim_feat, cfg.enco_pool_len,
+                         compute_dtype=cfg.compute_dtype)
+    p_te = te.init(jax.random.PRNGKey(0), props)
+    timeit(jax.jit(lambda p, b: te.apply(p, b)[0]), p_te, props,
+           label="tracklet enc fwd")
+    timeit(jax.jit(jax.grad(
+        lambda p, b: te.apply(p, b)[0].sum())), p_te, props,
+        label="tracklet enc f+b")
+
+    rngs = np.random.default_rng(0)
+    nodes = jnp.asarray(rngs.normal(size=(BATCH, N_BUCKET, cfg.dim_enti)),
+                        jnp.float32)
+    tmask = props.traj_mask
+
+    def enco_stack(p, x):
+        for i in range(cfg.n_enco_layers):
+            x = TransformerEncoderLayer(
+                cfg.dim_enti, cfg.n_att_head, cfg.dim_ffn,
+                name=f"encoder{i}").apply(
+                    {"params": p["params"][f"encoder{i}"]}, x,
+                    key_mask=tmask)
+        return x
+
+    enco_params = {"params": {
+        f"encoder{i}": TransformerEncoderLayer(
+            cfg.dim_enti, cfg.n_att_head, cfg.dim_ffn).init(
+                jax.random.PRNGKey(i), nodes, key_mask=tmask)["params"]
+        for i in range(cfg.n_enco_layers)}}
+    timeit(jax.jit(enco_stack), enco_params, nodes,
+           label="enco stack fwd")
+    timeit(jax.jit(jax.grad(lambda p, x: enco_stack(p, x).sum())),
+           enco_params, nodes, label="enco stack f+b")
+
+    queries = jnp.asarray(rngs.normal(size=(BATCH, cfg.num_querys,
+                                            cfg.dim_pred)), jnp.float32)
+    pos = jnp.asarray(rngs.normal(size=(cfg.num_querys, cfg.dim_pred)),
+                      jnp.float32)
+    layer = RoleAttnDecoderLayer(cfg.dim_pred, cfg.n_att_head, cfg.dim_enti,
+                                 cfg.dim_att, cfg.dim_ffn)
+    p_l = layer.init(jax.random.PRNGKey(0), queries, pos, nodes, tmask)
+
+    def deco_stack(p, q, x):
+        for _ in range(cfg.n_deco_layers):
+            q, att = layer.apply(p, q, pos, x, tmask)
+        return q, att
+
+    timeit(jax.jit(lambda p, q, x: deco_stack(p, q, x)[0]), p_l, queries,
+           nodes, label="deco stack fwd")
+    timeit(jax.jit(jax.grad(
+        lambda p, q, x: deco_stack(p, q, x)[0].sum())), p_l, queries,
+        nodes, label="deco stack f+b")
+    timeit(jax.jit(lambda p, q, x: layer.apply(p, q, pos, x, tmask)[0]),
+           p_l, queries, nodes, label="deco 1-layer fwd")
+
+    # Adam update alone on the real grads
+    grads = grad(params, props, gts)
+    tx2, _ = make_optimizer(1e-4, 0.2, [10_000])
+    state2 = create_train_state(params, tx2)
+
+    def adam_only(s, g):
+        ups, new_opt = tx2.update(g, s.opt_state, s.params)
+        import optax
+        return optax.apply_updates(s.params, ups)
+
+    timeit(jax.jit(adam_only), state2, grads, label="adam update only")
 
 
 if __name__ == "__main__":

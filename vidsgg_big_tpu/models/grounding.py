@@ -56,6 +56,14 @@ class GroundingConfig:
     # HBM-bandwidth bound; bfloat16 roughly halves its traffic).  Params stay
     # float32; layernorms and softmaxes compute in float32.
     compute_dtype: str = "float32"
+    # Attention lowering knobs, threaded into the three QANet encoders
+    # (defaults exactly reproduce QANetEncoderLayer's hardcoded behavior;
+    # see that class for what each controls).
+    attn_dropout: float = 0.1
+    attn_bytes_budget: int = 1 << 30
+    fused_attention: bool = True
+    fused_interpret: bool = False      # run the fused Pallas kernel in
+    #                                    interpret mode (CPU testing only)
     # Opt-in (beyond the reference): down-scale the three heads' final conv
     # kernels at init.  At the reference's default init the head logits are
     # saturated (mean |regr logit| ≈ 34 measured on the torch reference
@@ -76,6 +84,10 @@ class GroundingConfig:
                    loss_ctn=lf.get("centerness", 1.0),
                    loss_reg=lf.get("regression", 1.0),
                    compute_dtype=d.get("compute_dtype", "float32"),
+                   attn_dropout=d.get("attn_dropout", 0.1),
+                   attn_bytes_budget=d.get("attn_bytes_budget", 1 << 30),
+                   fused_attention=d.get("fused_attention", True),
+                   fused_interpret=d.get("fused_interpret", False),
                    stable_head_init=d.get("stable_head_init", False))
 
 
@@ -202,6 +214,10 @@ class QANetEncoderLayer(nn.Module):
     #                                    on-core PRNG; falls back to the
     #                                    chunked path off-TPU / at
     #                                    non-128-aligned shapes
+    fused_interpret: bool = False      # run the fused kernel in Pallas
+    #                                    interpret mode — engages it on CPU
+    #                                    (tests: trajectory + transplant
+    #                                    parity of the exact kernel math)
     flash_attention: bool = False      # head-composed stock Pallas flash
     #                                    kernel on big deterministic shapes —
     #                                    measured 2.7x SLOWER than chunked
@@ -288,17 +304,20 @@ class QANetEncoderLayer(nn.Module):
         drop = (not deterministic) and self.attn_dropout > 0.0
         if chunk < b and attn_bytes > self.attn_bytes_budget:
             # Pallas constraints: 128-aligned seq blocks, d on lanes
-            composable = t % 128 == 0 and d % 128 == 0 and \
-                jax.default_backend() == "tpu"
-            use_fused = self.fused_attention and composable
-            use_flash = (not drop) and self.flash_attention and composable
+            aligned = t % 128 == 0 and d % 128 == 0
+            on_tpu = jax.default_backend() == "tpu"
+            use_fused = self.fused_attention and aligned and \
+                (on_tpu or self.fused_interpret)
+            use_flash = (not drop) and self.flash_attention and aligned \
+                and on_tpu
             m = mask if mask is not None else jnp.ones((b, t), bool)
             if use_fused:
                 wqk, wb, wvo, cb = composed_qkvo(wq, bq, wk, wv, wo, bv, bo)
                 rng = self.make_rng("dropout") if drop else None
                 out = fused_composed_attention(
                     out, m, wqk, wb, wvo, cb, hd=hd,
-                    dropout=self.attn_dropout if drop else 0.0, rng=rng)
+                    dropout=self.attn_dropout if drop else 0.0, rng=rng,
+                    interpret=self.fused_interpret)
             elif use_flash:
                 wqk, wb, wvo, cb = composed_qkvo(wq, bq, wk, wv, wo, bv, bo)
                 out = attn_composed_flash(out, m, wqk, wb, wvo, cb, hd=hd)
@@ -409,11 +428,15 @@ class GroundingModel(nn.Module):
                         name="temp_fc")(temporal)              # (B, Q, H)
         query = words + temp[:, :, None, :]                    # (B, Q, 3, H)
 
+        attn_kw = dict(attn_dropout=cfg.attn_dropout,
+                       attn_bytes_budget=cfg.attn_bytes_budget,
+                       fused_attention=cfg.fused_attention,
+                       fused_interpret=cfg.fused_interpret)
         video = QANetEncoderLayer(cfg.dim_hidden, 4, 7, dtype=cdt,
-                                  name="video_encoder")(
+                                  name="video_encoder", **attn_kw)(
             video, mask=clip_mask, deterministic=deterministic)
         query = QANetEncoderLayer(cfg.dim_hidden, 4, 3, dtype=cdt,
-                                  name="query_encoder")(
+                                  name="query_encoder", **attn_kw)(
             query.reshape(b * q, 3, cfg.dim_hidden),
             deterministic=deterministic).reshape(b, q, 3, cfg.dim_hidden)
 
@@ -444,7 +467,8 @@ class GroundingModel(nn.Module):
         combined = nn.Dense(cfg.dim_hidden, kernel_init=torch_linear,
                             dtype=cdt, name="vq_fc")(combined)
         combined = QANetEncoderLayer(
-            cfg.dim_hidden, 4, 7, dtype=cdt, name="combined_encoder")(
+            cfg.dim_hidden, 4, 7, dtype=cdt, name="combined_encoder",
+            **attn_kw)(
                 combined.reshape(b * q, t, cfg.dim_hidden),
                 mask=jnp.repeat(clip_mask, q, axis=0),
                 deterministic=deterministic
