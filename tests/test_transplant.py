@@ -631,3 +631,85 @@ def test_optimizer_trajectory_parity():
             np.testing.assert_allclose(
                 np.asarray(params[k]), t_traj[i][k], rtol=2e-5, atol=1e-6,
                 err_msg=f"step {i} param {k}")
+
+
+def test_convert_checkpoint_cli_grounding_roundtrip(reference_utils,
+                                                    tmp_path):
+    """tools/convert_checkpoint.py --model grounding: reference DEBUG .pth
+    (training-dict wrapper + DataParallel prefixes) -> orbax checkpoint; the
+    restored params equal the direct transplant bit-for-bit, INCLUDING the
+    raw-kernel attention containers (_DenseGeneralParams) the fused kernel
+    consumes — the rehearsal kit (scripts/rehearse_real_data.sh) drives the
+    fused TPU path through exactly this conversion."""
+    import argparse
+    import os
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from vidsgg_big_tpu.models.transplant import grounding_params_from_torch
+    from vidsgg_big_tpu.train.train_state import (
+        make_optimizer, create_train_state, load_checkpoint)
+
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    sys.path.insert(0, tools)
+    try:
+        import convert_checkpoint as cc
+    finally:
+        sys.path.remove(tools)
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.grd_model_v5 import DEBUG
+    finally:
+        sys.path.remove("/root/reference")
+
+    rng = np.random.default_rng(11)
+    np.save(tmp_path / "enti.npy",
+            rng.normal(0, 1, (81, 300)).astype(np.float32))
+    np.save(tmp_path / "pred.npy",
+            rng.normal(0, 1, (51, 300)).astype(np.float32))
+    torch.manual_seed(7)
+    ref = DEBUG(dict(dim_feat=24, dim_clsme=300, dim_hidden=32, num_bins=4,
+                     loss_factor=dict(classification=1.0, centerness=1.0,
+                                      regression=1.0),
+                     EntiNameEmb_path=str(tmp_path / "enti.npy"),
+                     PredNameEmb_path=str(tmp_path / "pred.npy")),
+                is_train=False)
+    sd = {"module." + k: v for k, v in ref.state_dict().items()}
+    pth = tmp_path / "grd_epoch70.pth"
+    torch.save({"model_state_dict": sd, "crt_epoch": 70}, pth)
+
+    cfgf = tmp_path / "config_.py"
+    cfgf.write_text(
+        "model_config = dict(dim_feat=24, dim_clsme=300, dim_hidden=32, "
+        "num_bins=4, loss_factor=dict(classification=1.0, centerness=1.0, "
+        "regression=1.0), "
+        f"EntiNameEmb_path={str(tmp_path / 'enti.npy')!r}, "
+        f"PredNameEmb_path={str(tmp_path / 'pred.npy')!r})\n")
+    out = tmp_path / "converted"
+    cc.convert(argparse.Namespace(
+        torch_ckpt=str(pth), cfg_path=str(cfgf), model="grounding",
+        out=str(out), legacy_keys=False))
+
+    variables = grounding_params_from_torch(ref.state_dict())
+    tx, _ = make_optimizer(1e-4, 0.2, [1])
+    template = create_train_state(
+        jax.tree_util.tree_map(jnp.zeros_like, variables), tx)
+    state, step = load_checkpoint(str(out), template)
+    assert step == 0
+    flat_a = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(variables)[0]
+    assert len(flat_a) == len(flat_b)
+    n_raw_attn = 0
+    for (ka, a), (kb, b) in zip(flat_a, flat_b):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        if "attn_" in jax.tree_util.keystr(ka):
+            n_raw_attn += 1
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(ka))
+    # the three QANet encoders' raw q/k/v/out containers all round-tripped
+    assert n_raw_attn == 3 * 4 * 2
