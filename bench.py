@@ -41,7 +41,8 @@ def best_window(run_window, n_windows=N_WINDOWS):
 V5E_PEAK_TFLOPS = 197.0   # one v5e chip, bf16 MXU peak
 
 
-def mfu_fields(extra, name, jitted, args_, dt_s, peak_tf=V5E_PEAK_TFLOPS):
+def mfu_fields(extra, name, jitted, args_, dt_s, peak_tf=V5E_PEAK_TFLOPS,
+               pallas_flops=0.0):
     """Per-stage achieved TFLOP/s and MFU into the bench JSON.
 
     FLOPs come from XLA's compiled cost analysis (algorithmic FLOPs of the
@@ -49,6 +50,14 @@ def mfu_fields(extra, name, jitted, args_, dt_s, peak_tf=V5E_PEAK_TFLOPS):
     padding waste shows up as LOW MFU rather than being flattered away);
     time is the stage's measured per-call wall time; peak is the v5e bf16
     MXU rate.  Best-effort: silently skipped where the backend can't report.
+
+    ``pallas_flops``: analytic matmul FLOPs of Mosaic custom calls in the
+    program — cost analysis reports 0 for those, so stages that engage a
+    Pallas kernel must add them or their MFU under-counts (round 4 reported
+    grounding inference at 17.9% MFU when ~44% of its FLOPs ran inside the
+    fused attention kernel).  Helpers: ops.pallas_attention.
+    fused_attention_flops, ops.pallas_role_attn.role_attention_flops; the
+    added amount is recorded as ``{name}_pallas_tflop`` for auditability.
     """
     try:
         ca = jitted.lower(*args_).compile().cost_analysis()
@@ -56,6 +65,9 @@ def mfu_fields(extra, name, jitted, args_, dt_s, peak_tf=V5E_PEAK_TFLOPS):
             ca = ca[0]
         fl = float(ca.get("flops", 0.0))
         if fl > 0.0 and dt_s > 0.0:
+            if pallas_flops > 0.0:
+                extra[f"{name}_pallas_tflop"] = round(pallas_flops / 1e12, 3)
+                fl += pallas_flops
             tf = fl / dt_s / 1e12
             extra[f"{name}_tflops"] = round(tf, 2)
             extra[f"{name}_mfu_pct"] = round(100.0 * tf / peak_tf, 2)
@@ -161,7 +173,10 @@ def bench_train(recs, extra=None):
     params = model.init(jax.random.PRNGKey(0), props)
     tx, _ = make_optimizer(1e-4, 0.2, [10_000])
     state = create_train_state(params, tx)
-    step = build_train_step(model, tx, donate=False)
+    # donate=True is the production config (train/loop.py); the timing
+    # window threads state through the step, so donation is valid here —
+    # measured worth ~0.15 ms/step (scripts/adam_fusion_experiment.py)
+    step = build_train_step(model, tx, donate=True)
     rng = jax.random.PRNGKey(1)
     props, gts = jax.device_put((props, gts))   # exclude H2D from the loop
 
@@ -223,8 +238,15 @@ def bench_grounding(extra=None):
 
     dt = best_window(window) / n
     if extra is not None:
+        # the combined encoder runs the fused Pallas attention kernel once
+        # per forward at (rows=B*Q, T, e=dim_hidden); the video encoder's
+        # (B, T) attention stays on the XLA-visible direct path
+        from vidsgg_big_tpu.ops.pallas_attention import fused_attention_flops
+        pf = fused_attention_flops(b * q, t, cfg.dim_hidden, 8) \
+            if jax.default_backend() == "tpu" else 0.0
         mfu_fields(extra, "grounding_infer", infer,
-                   (params, feats, clip_mask, n_clips, qc, temp, qm), dt)
+                   (params, feats, clip_mask, n_clips, qc, temp, qm), dt,
+                   pallas_flops=pf)
     return dt / b * 1000.0                                  # ms/video
 
 
@@ -263,7 +285,7 @@ def bench_grounding_train(extra=None):
                         jnp.ones((b, p), bool))
     tx, _ = make_optimizer(1e-4, 0.2, [10_000])
     state = create_train_state(params, tx)
-    step = build_grounding_train_step(model, tx, donate=False)
+    step = build_grounding_train_step(model, tx, donate=True)
     key = jax.random.PRNGKey(1)
     gts = jax.device_put(gts)                   # exclude H2D from the loop
     state, metrics = step(state, feats, clip_mask, n_clips, gts, video_len,
@@ -282,9 +304,15 @@ def bench_grounding_train(extra=None):
 
     dt = best_window(window, 2) / n
     if extra is not None:
+        # one fused-kernel forward + backward per step over the
+        # concatenated pos+neg queries (rows=B*2P, T, e=dim_hidden)
+        from vidsgg_big_tpu.ops.pallas_attention import fused_attention_flops
+        pf = fused_attention_flops(b * 2 * p, t, cfg.dim_hidden, 8,
+                                   backward=True) \
+            if jax.default_backend() == "tpu" else 0.0
         mfu_fields(extra, "grounding_train", step,
                    (state, feats, clip_mask, n_clips, gts, video_len, key),
-                   dt)
+                   dt, pallas_flops=pf)
     return dt * 1000.0, b / dt                              # ms/step, v/s
 
 
@@ -378,7 +406,14 @@ def bench_serving_b32(extra=None):
 
     thr = b * n / best_window(window, 2)
     if extra is not None:
-        mfu_fields(extra, "serving_b32", infer, (params, batch), b / thr)
+        # at B=32 every decoder layer runs the fused role-attention kernel
+        # (auto-engaged from B>=24); its FLOPs are invisible to cost analysis
+        from vidsgg_big_tpu.ops.pallas_role_attn import role_attention_flops
+        pf = cfg.n_deco_layers * role_attention_flops(
+            b, cfg.num_querys, N_BUCKET, cfg.dim_att // 2, cfg.dim_enti) \
+            if jax.default_backend() == "tpu" else 0.0
+        mfu_fields(extra, "serving_b32", infer, (params, batch), b / thr,
+                   pallas_flops=pf)
     return thr
 
 

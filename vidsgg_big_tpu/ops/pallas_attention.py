@@ -311,6 +311,25 @@ def _fused_bwd(dropout, interpret, scale, res, do):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def fused_attention_flops(rows: int, t: int, e: int, heads: int,
+                          backward: bool = False) -> float:
+    """Analytic matmul FLOPs of the fused kernel's Mosaic custom calls.
+
+    XLA's compiled cost analysis reports 0 FLOPs for a Mosaic custom call,
+    so any MFU computed from it under-counts programs that engage this
+    kernel; bench.py adds these.  Per batch row and head the forward does
+    S = q~ x^T (2*T*T*e) and out += A v~ (2*T*T*e); the backward recomputes
+    S (2), forms dA = do v~^T (2), dv~ = A_d^T do (2), dq~ = dS x (2) and
+    dx += dS^T q~ (2) — 10*T*T*e per head (_fwd_kernel / _bwd_kernel
+    above).  The q~ / v~ projections run OUTSIDE the kernel as XLA einsums
+    and are already counted.  ``e`` is the composed width (d_model), not
+    the original head_dim.
+    """
+    fwd = 4.0 * heads * rows * t * t * e
+    bwd = 10.0 * heads * rows * t * t * e
+    return fwd + (bwd if backward else 0.0)
+
+
 def fused_composed_attention(x, mask, wqk, wb, wvo, cb, *, hd,
                              dropout=0.0, rng=None, interpret=False):
     """Fused composed attention, (B, T, d) -> (B, T, d) incl. out-proj.

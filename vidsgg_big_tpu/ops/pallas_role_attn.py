@@ -52,6 +52,14 @@ def _kernel(p_ref, e_ref, enco_ref, mask_ref, att_ref, val_ref, *,
         for r in range(2)], axis=0)                          # (2, Q, De)
 
 
+def role_attention_flops(b: int, q: int, n: int, dh: int, de: int) -> float:
+    """Analytic matmul FLOPs of one fused role-attention custom call (XLA
+    cost analysis reports 0 for Mosaic custom calls; bench.py adds these).
+    Per (batch row, role): logits = p e^T (2*Q*N*Dh) and values = att enco
+    (2*Q*N*De), two roles per row (_kernel above)."""
+    return 2.0 * b * (2.0 * q * n * dh + 2.0 * q * n * de)
+
+
 def role_attention(pred2att, enti2att, enco, traj_mask,
                    dim_enti: int, interpret: bool = False):
     """Fused role attention.
