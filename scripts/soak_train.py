@@ -151,7 +151,7 @@ def run_cli(mode, outdir, extra, *, kill_at_step=None, env_extra=None,
     # the kill/resume rehearsal too
     cmd = [sys.executable, cfg[0], *cfg[1], "--output_dir", outdir,
            "--ckpt_every", str(ckpt_every), *extra]
-    if device_cache_gb is not None and mode == "vidvrd":
+    if device_cache_gb is not None and mode in ("vidvrd", "baseline"):
         cmd += ["--device_cache_gb", str(device_cache_gb)]
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
@@ -245,10 +245,11 @@ def main():
                          "value for straight + kill/resume keeps the "
                          "bit-equality check valid)")
     ap.add_argument("--device_cache_gb", type=float, default=8.0,
-                    help="HBM budget forwarded to the vidvrd trainer's "
-                         "device-resident record cache (epochs >= 1 skip "
-                         "the tunnel when the split fits; the full-dims "
-                         "64-video split packs to ~4.9 GB bf16)")
+                    help="HBM budget forwarded to the vidvrd/baseline "
+                         "trainers' device-resident record cache (epochs "
+                         ">= 1 skip the tunnel when the split fits; the "
+                         "full-dims 64-video vidvrd split packs to "
+                         "~4.9 GB bf16)")
     ap.add_argument("--light", action="store_true",
                     help="synthetic features at the small default dims "
                          "instead of the model dims (vidvrd production "

@@ -141,3 +141,68 @@ def test_train_cli_losses_bit_equal_with_cache(tmp_path):
         sys.path.remove(TOOLS)
     l_off, l_on = _losses(out_off), _losses(out_on)
     assert l_off and l_off == l_on
+
+
+# ---- VidOR trainers (cls + baseline) share the cache wiring ---------------
+
+VIDOR_CLS_CFG = """
+model_config = dict(
+    num_enti_cats=81, num_pred_cats=51, dim_ffn=32, dim_enti=32, dim_pred=32,
+    dim_att=32, dim_feat=64, dim_clsme=300, enco_pool_len=4, n_enco_layers=1,
+    n_deco_layers=1, n_att_head=4, num_querys=8, neg_weight=0.1,
+    positive_vIoU_th=0.5, use_clsme=True, EntiNameEmb_path=None,
+    bias_matrix_path=None,
+    cost_coeff_dict=dict(classification=1.0, adj_matrix=30.0),
+    loss_coeff_dict=dict(classification=1.0, adj_matrix=30.0))
+train_dataset_config = dict(split="train")
+test_dataset_config = dict(split="val")
+train_config = dict(batch_size=2, total_epoch=3, initial_lr=1e-4,
+                    lr_decay=0.2, epoch_lr_milestones=[50])
+inference_config = dict(topk=3)
+"""
+
+VIDOR_BASE_CFG = """
+model_config = dict(
+    num_enti_cats=81, num_pred_cats=51, dim_feat=64, dim_clsme=300,
+    dim_enti=32, dim_ffn=32, enco_pool_len=4, use_clsme=True,
+    EntiNameEmb_path=None, bias_matrix_path=None, max_preds=16)
+train_dataset_config = dict(split="train")
+test_dataset_config = dict(split="val")
+train_config = dict(batch_size=2, total_epoch=3, initial_lr=1e-4,
+                    lr_decay=0.2, epoch_lr_milestones=[50])
+inference_config = dict(topk=3)
+"""
+
+
+def _vidor_args(cfg_path, root, outdir, cache_gb, **kw):
+    base = dict(cfg_path=cfg_path, save_tag="t", output_dir=outdir,
+                from_checkpoint=False, ckpt_path=None, epochs=3,
+                batch_size=None, ckpt_every=100, seed=0, data_parallel=False,
+                mesh=None, tables_path=None, synthetic=4,
+                synthetic_root=root, train_baseline=False,
+                train_grounding=False, compute_dtype=None, feat_dtype=None,
+                stop_after_batches=0, device_cache_gb=cache_gb)
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode,cfg_text", [
+    ("cls", VIDOR_CLS_CFG), ("baseline", VIDOR_BASE_CFG)])
+def test_vidor_train_losses_bit_equal_with_cache(tmp_path, mode, cfg_text):
+    cfg_path = tmp_path / "config_.py"
+    cfg_path.write_text(cfg_text)
+    root = str(tmp_path / "synth")
+    sys.path.insert(0, TOOLS)
+    try:
+        import train_vidor
+        fn = (train_vidor.train_baseline if mode == "baseline"
+              else train_vidor.train_cls_stage)
+        out_off = str(tmp_path / "off")
+        out_on = str(tmp_path / "on")
+        fn(_vidor_args(str(cfg_path), root, out_off, 0.0))
+        fn(_vidor_args(str(cfg_path), root, out_on, 8.0))
+    finally:
+        sys.path.remove(TOOLS)
+    l_off, l_on = _losses(out_off), _losses(out_on)
+    assert l_off and l_off == l_on

@@ -142,16 +142,13 @@ def train(args):
     # docs/ROUND5.md).  Bit-identical batches either way.  Disabled under
     # a mesh (cached records would need per-key shardings) and by
     # --device_cache_gb 0.
-    cache = None
-    if mesh is None and getattr(args, "device_cache_gb", 4.0) > 0 and \
-            hasattr(dataset, "video_name_list"):
-        from vidsgg_big_tpu.data.dataset import VIDVRD_OOM_VIDEOS
-        from vidsgg_big_tpu.data.device_cache import DeviceRecordCache
-        skip = (VIDVRD_OOM_VIDEOS
-                if getattr(dataset, "split", "") == "train" else ())
-        cache = DeviceRecordCache(dataset.video_name_list, batch_size,
-                                  getattr(args, "device_cache_gb", 4.0) * 1e9,
-                                  skip_names=skip)
+    from vidsgg_big_tpu.data.dataset import VIDVRD_OOM_VIDEOS
+    from vidsgg_big_tpu.data.device_cache import (make_cache,
+                                                  cached_or_host_epoch)
+    cache = make_cache(
+        args, dataset, batch_size, mesh=mesh,
+        skip_names=(VIDVRD_OOM_VIDEOS
+                    if getattr(dataset, "split", "") == "train" else ()))
 
     def preput(batch):
         # main-thread H2D one batch ahead (train/loop.py pipelining):
@@ -175,22 +172,13 @@ def train(args):
         return step_fn(state, props, gts, sub)
 
     def epoch_stream(epoch, skip):
-        if cache is not None and cache.complete:
-            if epoch_stream.first_cached is None:
-                epoch_stream.first_cached = epoch
-                logger.info(
-                    f"device cache complete: {len(cache.records)} videos, "
-                    f"{cache.bytes / 1e9:.2f} GB on device; epoch {epoch}+ "
-                    "skips the host wire")
-            gen = ((k, names, None, None)
-                   for k, names in cache.epoch_descriptors(epoch))
-        else:
-            gen = bucketed_batches(iter_shuffled(dataset, seed=epoch), spec,
-                                   batch_size)
+        gen = cached_or_host_epoch(
+            cache, epoch, logger,
+            lambda: bucketed_batches(iter_shuffled(dataset, seed=epoch),
+                                     spec, batch_size))
         if skip:
             gen = itertools.islice(gen, skip, None)
         return prefetch(gen)
-    epoch_stream.first_cached = None
 
     logger.info("start training...")
     state = run_epochs(

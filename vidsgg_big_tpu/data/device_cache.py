@@ -99,6 +99,7 @@ class DeviceRecordCache:
         self.keys: Dict[str, tuple] = {}
         self.bytes = 0
         self.over_budget = False
+        self.first_cached_epoch: Optional[int] = None
 
     # ---- epoch-0 capture ---------------------------------------------------
 
@@ -173,3 +174,37 @@ class DeviceRecordCache:
         if gts[0] is None:
             gts = None
         return _assemble(props, gts, real)
+
+
+# ---- CLI wiring (shared by tools/train_vidvrd.py + tools/train_vidor.py) --
+
+def make_cache(args, dataset, batch_size, mesh=None, skip_names=()):
+    """Build a cache when eligible: single-device run (cached records would
+    need per-key shardings under a mesh), ``--device_cache_gb`` > 0, and a
+    dataset exposing ``video_name_list``."""
+    if mesh is not None:
+        return None
+    gb = getattr(args, "device_cache_gb", 4.0)
+    if not gb or gb <= 0 or not hasattr(dataset, "video_name_list"):
+        return None
+    return DeviceRecordCache(dataset.video_name_list, batch_size, gb * 1e9,
+                             skip_names=skip_names)
+
+
+def cached_or_host_epoch(cache, epoch, logger, host_gen):
+    """Epoch-stream selector: ``(key, names, None, None)`` descriptors once
+    the cache is complete, else ``host_gen()`` (a thunk — the host pipeline
+    is not even constructed for cached epochs).  Descriptor batches carry
+    ``props=None``; the trainer's ``preput`` resolves them via
+    :meth:`DeviceRecordCache.assemble` on the main thread."""
+    if cache is not None and cache.complete:
+        if cache.first_cached_epoch is None:
+            cache.first_cached_epoch = epoch
+            if logger is not None:
+                logger.info(
+                    f"device cache complete: {len(cache.records)} videos, "
+                    f"{cache.bytes / 1e9:.2f} GB on device; epoch {epoch}+ "
+                    "skips the host wire")
+        return ((k, names, None, None)
+                for k, names in cache.epoch_descriptors(epoch))
+    return host_gen()
